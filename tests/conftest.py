@@ -1,0 +1,16 @@
+"""Test harness: force an 8-device virtual CPU mesh before any backend
+initialization so multi-chip sharding paths compile+run without real TPU
+hardware (the driver validates the real-device path separately via
+__graft_entry__). Note: the env image's sitecustomize pins
+``jax_platforms=axon,cpu``; ``jax.config.update`` after import wins."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
