@@ -1,0 +1,208 @@
+"""Batched biconvex ADMM for centroidal dynamics (the "dyn" half of the MPC).
+
+TPU-native twin of the reference ``BiConvexMP`` (reference
+src/motion_planner/biconvex.cpp:6-151, include/motion_planner/biconvex.hpp:21-193):
+alternate a force QP and a state QP — each solved by projected FISTA with the
+bilinear constraint enforced as a quadratic penalty — and update the scaled
+dual ``P_k`` with the dynamics violation until ``||A_f x - b_f|| < exit_tol``.
+
+All matrices stay matrix-free (see ``mpc/centroidal.py``); the ADMM loop is a
+``lax.while_loop`` with a per-problem convergence mask so thousands of solves
+retire together in one compiled program. Defaults mirror biconvex.hpp:148-160
+and the ctor seeds at biconvex.cpp:20-24 (L0_x=2.25e6, L0_f=506.25, SoC on
+for forces).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..mpc import centroidal as cd
+from . import fista
+
+
+@dataclasses.dataclass(frozen=True)
+class BiconvexConfig:
+    rho: float = 1e5
+    max_admm_iters: int = 100
+    fista_max_iters: int = 150
+    fista_tol: float = 1e-5
+    exit_tol: float = 1e-3
+    beta: float = 1.5
+    L0_x: float = 2.25e6
+    L0_f: float = 506.25
+    mu: float = 1.0  # friction coefficient (fista.hpp:60)
+    use_soc: bool = True  # SoC projection for forces (biconvex.cpp:24)
+    soc_mode: str = "exact"
+    momentum: str = "reference"
+    log_statistics: bool = False  # dyn-violation history (biconvex.hpp:127-139)
+
+    def fista_cfg(self, soc: bool):
+        return fista.FistaConfig(
+            max_iters=self.fista_max_iters,
+            tol=self.fista_tol,
+            beta=self.beta,
+            momentum=self.momentum,
+            soc_mode=self.soc_mode,
+        )
+
+
+class CostX(NamedTuple):
+    """Diagonal state cost: rows 0..H-1 weighted by W_X against X_nom, row H by
+    W_X_ter against X_ter (reference create_cost_X, biconvex.cpp:60-72)."""
+
+    W: jnp.ndarray  # (..., H+1, 9)
+    X_ref: jnp.ndarray  # (..., H+1, 9)
+
+
+class BiconvexResult(NamedTuple):
+    X: jnp.ndarray  # (..., H+1, 9)
+    F: jnp.ndarray  # (..., H, n_eff, 3)
+    P: jnp.ndarray  # (..., H+1, 9) scaled dual
+    viol_norm: jnp.ndarray  # (...,) final ||A_f X - b_f||
+    admm_iters: jnp.ndarray  # (...,)
+    viol_hist: jnp.ndarray | None  # (..., max_admm_iters) if log_statistics
+
+
+def kinematic_box_bounds(plan: cd.ContactPlan, b_lo, b_hi):
+    """CoM box around the support polygon (reference create_bound_constraints,
+    biconvex.cpp:48-56): active at knots with any contact, +-inf otherwise.
+    ``b_lo``/``b_hi``: (..., H, 3) or (3,) margins (e.g. [-bx,-by,0], [bx,by,bz])."""
+    any_cnt = jnp.sum(plan.cnt, axis=-1) > 0  # (..., H)
+    r_max = jnp.max(plan.r, axis=-2)  # (..., H, 3) over feet
+    r_min = jnp.min(plan.r, axis=-2)
+    inf = jnp.asarray(jnp.inf, plan.r.dtype)
+    lb_com = jnp.where(any_cnt[..., None], r_max + b_lo, -inf)
+    ub_com = jnp.where(any_cnt[..., None], r_min + b_hi, inf)
+    # only the CoM rows are bounded; velocities/momenta are free
+    H = plan.cnt.shape[-2]
+    shape = lb_com.shape[:-2] + (H + 1, 9)
+    lb = jnp.full(shape, -jnp.inf, plan.r.dtype)
+    ub = jnp.full(shape, jnp.inf, plan.r.dtype)
+    lb = lb.at[..., :H, 0:3].set(lb_com)
+    ub = ub.at[..., :H, 0:3].set(ub_com)
+    return lb, ub
+
+
+def solve(
+    plan: cd.ContactPlan,
+    m: float,
+    x_init: jnp.ndarray,  # (..., 9) current centroidal state
+    cost_x: CostX,
+    W_F: jnp.ndarray,  # (..., H, n_eff, 3) force weights
+    X_wm: jnp.ndarray,  # warm starts (..., H+1, 9)
+    F_wm: jnp.ndarray,  # (..., H, n_eff, 3)
+    P_wm: jnp.ndarray,  # (..., H+1, 9)
+    cfg: BiconvexConfig,
+    x_bounds=None,  # optional (lb, ub) from kinematic_box_bounds
+    f_bounds=None,  # optional (lb, ub) for forces when use_soc=False
+) -> BiconvexResult:
+    rho = cfg.rho
+    batch_shape = x_init.shape[:-1]
+
+    if cfg.use_soc:
+        proj_f = fista.soc_projector(cfg.mu, cfg.soc_mode)
+    else:
+        lb_f, ub_f = f_bounds
+        proj_f = fista.box_projector(lb_f, ub_f)
+    if x_bounds is not None:
+        proj_x = fista.box_projector(*x_bounds)
+    else:
+        proj_x = lambda z: z  # noqa: E731
+
+    q_x = -2.0 * cost_x.W * cost_x.X_ref
+
+    def solve_f(X, F0, P, L0):
+        """Force subproblem: min F'W_F F + rho ||A_x F - b_x + P||^2."""
+        b = cd.bx_vec(plan, X)
+        bP = P - b
+
+        def Ax(F):
+            return cd.ax_apply(plan, m, X, F)
+
+        def grad(y):
+            return 2.0 * (W_F * y + rho * cd.ax_applyT(plan, m, X, Ax(y) + bP))
+
+        def obj_diff(y1, y0):
+            quad = jnp.sum((y1 + y0) * W_F * (y1 - y0), axis=(-3, -2, -1))
+            r1 = Ax(y1) + bP
+            r0 = Ax(y0) + bP
+            pen = jnp.sum(r1 * r1, axis=(-2, -1)) - jnp.sum(r0 * r0, axis=(-2, -1))
+            return quad + rho * pen
+
+        res = fista.solve(F0, grad, obj_diff, proj_f, L0, cfg.fista_cfg(True), n_var_dims=3)
+        return res.x, res.L
+
+    def solve_x(F, X0, P, L0):
+        """State subproblem: min (X-ref)'W(X-ref) + rho ||A_f X - b_f + P||^2."""
+        b = cd.bf_vec(plan, m, F, x_init)
+        bP = P - b
+
+        def Af(X):
+            return cd.af_apply(plan, m, F, X)
+
+        def grad(y):
+            return 2.0 * (cost_x.W * y + rho * cd.af_applyT(plan, m, F, Af(y) + bP)) + q_x
+
+        def obj_diff(y1, y0):
+            d = y1 - y0
+            quad = jnp.sum((y1 + y0) * cost_x.W * d, axis=(-2, -1))
+            lin = jnp.sum(q_x * d, axis=(-2, -1))
+            r1 = Af(y1) + bP
+            r0 = Af(y0) + bP
+            pen = jnp.sum(r1 * r1, axis=(-2, -1)) - jnp.sum(r0 * r0, axis=(-2, -1))
+            return quad + lin + rho * pen
+
+        res = fista.solve(X0, grad, obj_diff, proj_x, L0, cfg.fista_cfg(False), n_var_dims=2)
+        return res.x, res.L
+
+    def violation(F, X):
+        v = cd.af_apply(plan, m, F, X) - cd.bf_vec(plan, m, F, x_init)
+        return v, jnp.sqrt(jnp.sum(v * v, axis=(-2, -1)))
+
+    hist0 = (
+        jnp.zeros(batch_shape + (cfg.max_admm_iters,), x_init.dtype)
+        if cfg.log_statistics
+        else None
+    )
+
+    def cond(carry):
+        it, done = carry[-2], carry[-1]
+        return jnp.logical_and(~jnp.all(done), it < cfg.max_admm_iters)
+
+    def body(carry):
+        X, F, P, L_x, L_f, viol_n, iters, hist, it, done = carry
+        F_new, L_f_new = solve_f(X, F, P, L_f)
+        X_new, L_x_new = solve_x(F_new, X, P, L_x)
+        v, vn = violation(F_new, X_new)
+        P_new = P + v
+
+        m2 = ~done
+        mx = m2[..., None, None]
+        mf = m2[..., None, None, None]
+        X = jnp.where(mx, X_new, X)
+        F = jnp.where(mf, F_new, F)
+        P = jnp.where(mx, P_new, P)
+        L_x = jnp.where(m2, L_x_new, L_x)
+        L_f = jnp.where(m2, L_f_new, L_f)
+        viol_n = jnp.where(m2, vn, viol_n)
+        iters = jnp.where(m2, it + 1, iters)
+        if hist is not None:
+            hist = hist.at[..., it].set(jnp.where(m2, vn, 0.0))
+        # NaN divergence guard (biconvex.cpp:106-109) + convergence exit
+        done = done | (vn < cfg.exit_tol) | jnp.isnan(vn)
+        return X, F, P, L_x, L_f, viol_n, iters, hist, it + 1, done
+
+    L_x0 = jnp.full(batch_shape, cfg.L0_x, x_init.dtype)
+    L_f0 = jnp.full(batch_shape, cfg.L0_f, x_init.dtype)
+    viol0 = jnp.full(batch_shape, jnp.inf, x_init.dtype)
+    iters0 = jnp.zeros(batch_shape, jnp.int32)
+    done0 = jnp.zeros(batch_shape, bool)
+
+    carry = (X_wm, F_wm, P_wm, L_x0, L_f0, viol0, iters0, hist0, jnp.zeros((), jnp.int32), done0)
+    X, F, P, _, _, viol_n, iters, hist, _, _ = jax.lax.while_loop(cond, body, carry)
+    return BiconvexResult(X=X, F=F, P=P, viol_norm=viol_n, admm_iters=iters, viol_hist=hist)
