@@ -1,0 +1,298 @@
+"""Kino-dynamic MPC orchestrator: one fused, jittable whole-body solve.
+
+TPU-native twin of the reference pipeline
+``SoloMpcGaitGen.optimize -> KinoDynMP::optimize`` (reference
+examples/mpc/abstract_cyclic_gen.py:629-698, src/motion_planner/kino_dyn.cpp:
+39-99): contact plan -> cost assembly -> centroidal ADMM -> kinematic DDP ->
+1 kHz interpolation, all inside a single XLA program. ``jax.vmap(solve_mpc)``
+turns it into thousands of simultaneous MPC solves — the reference's
+one-solve-per-process architecture (SURVEY.md §2.9) becomes the batch axis.
+
+Conscious deviations (documented in SURVEY.md §7.5 terms):
+* X_nom's y-row anchors at the current CoM like the x-row instead of the
+  reference's stale-buffer 0 anchor (abstract_cyclic_gen.py:574-578); the xy
+  weights are 1e-5 so the effect is negligible.
+* contact locations are not rounded to 3 decimals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..kin import algorithms as K
+from ..robots.model import RobotModel
+from ..solvers import biconvex, ddp
+from ..utils import quat as Q
+from . import gait as G
+from . import ik as IK
+from .motions.params import BiconvexMotionParams
+
+
+@dataclasses.dataclass(frozen=True)
+class CyclicMpcSpec:
+    """Static, host-side precomputation for one (robot, gait) pair — the twin
+    of SoloMpcGaitGen.__init__ + update_gait_params (abstract_cyclic_gen.py:
+    17-156)."""
+
+    model: RobotModel
+    params: BiconvexMotionParams
+    eff_frames: tuple
+    horizon: int
+    ik_hor: int
+    gait: G.GaitParams
+    planner: G.RaibertPlannerParams
+    hip_offsets: np.ndarray  # (n_eff, 3)
+    I_comp: np.ndarray  # (3, 3) composite inertia at q0 (yaw-momentum target)
+    x_reg: np.ndarray  # (nq+nv,) regularization state
+    size: int  # interpolation knot count (abstract_cyclic_gen.py:151-153)
+    n_int: int  # 1 kHz samples produced per solve
+    # kinematic CoM box + force limits (abstract_cyclic_gen.py:92-97)
+    bx: float = 0.45
+    by: float = 0.45
+    bz: float = 0.45
+    f_max: float = 15.0
+
+    @property
+    def n_eff(self) -> int:
+        return len(self.eff_frames)
+
+
+def make_cyclic_spec(
+    model: RobotModel,
+    params: BiconvexMotionParams,
+    q0: np.ndarray,
+    eff_frames=("FL_FOOT", "FR_FOOT", "HL_FOOT", "HR_FOOT"),
+    hip_frames=("FL_HFE", "FR_HFE", "HL_HFE", "HR_HFE"),
+    ik_hor_ratio: float = 0.5,
+    foot_size: float = 0.018,
+    x_reg: np.ndarray | None = None,
+) -> CyclicMpcSpec:
+    """Host-side setup: hip offsets relative to the CoM at q0 (with the
+    reference's hand-tuned xy nudges, abstract_cyclic_gen.py:51-76), composite
+    inertia for the yaw-momentum target (:46-47)."""
+    q0j = jnp.asarray(q0)
+    com0 = np.asarray(K.com(model, q0j))
+    hips = np.asarray(K.frame_positions(model, q0j, hip_frames))
+    offsets = np.round(hips - com0, 3)
+    # contact-planning nudges: widen the stance laterally (:58-69)
+    offsets[:, 1] += np.array([0.04, -0.04, 0.04, -0.04])
+    R0 = np.asarray(Q.quat_to_rot(q0j[3:7]))
+    offsets = offsets @ R0  # rotate into the base frame (:72-76)
+
+    I_comp = np.asarray(K.composite_inertia_about_com(model, q0j))
+
+    horizon = params.horizon
+    ik_hor = params.ik_horizon(ik_hor_ratio)
+    plan_freq = params.plan_freq
+    size = min(ik_hor, int(plan_freq / params.gait_dt) + 2)
+    if plan_freq > params.gait_dt:
+        size -= 1
+    n_int = size * int(round(params.gait_dt / 0.001))
+
+    if x_reg is None:
+        x_reg = np.concatenate([np.asarray(q0), np.zeros(model.nv)])
+
+    return CyclicMpcSpec(
+        model=model,
+        params=params,
+        eff_frames=tuple(eff_frames),
+        horizon=horizon,
+        ik_hor=ik_hor,
+        gait=G.GaitParams(
+            gait_period=params.gait_period,
+            stance_percent=tuple(params.stance_percent),
+            phase_offset=tuple(params.phase_offset),
+            gait_dt=params.gait_dt,
+            step_height=params.step_ht,
+        ),
+        planner=G.RaibertPlannerParams(
+            hip_offsets=jnp.asarray(offsets), foot_size=foot_size
+        ),
+        hip_offsets=offsets,
+        I_comp=I_comp,
+        x_reg=np.asarray(x_reg),
+        size=size,
+        n_int=n_int,
+    )
+
+
+class MpcPlan(NamedTuple):
+    """One MPC solve's outputs, interpolated to 1 kHz like the reference
+    (abstract_cyclic_gen.py:677-698) plus solver diagnostics."""
+
+    xs_int: jnp.ndarray  # (n_int, nq+nv) desired states
+    us_int: jnp.ndarray  # (n_int, nv) desired accelerations
+    f_int: jnp.ndarray  # (n_int, n_eff*3) feed-forward forces
+    X_opt: jnp.ndarray  # (H+1, 9) centroidal trajectory
+    F_opt: jnp.ndarray  # (H, n_eff, 3)
+    xs: jnp.ndarray  # (ik_hor+1, nq+nv) IK knots
+    us: jnp.ndarray  # (ik_hor, nv)
+    cnt_plan: jnp.ndarray  # (H, n_eff, 4) [flag, x, y, z] reference layout
+    dyn_violation: jnp.ndarray  # ()
+    admm_iters: jnp.ndarray  # ()
+    ik_cost: jnp.ndarray  # ()
+
+
+def _interp_1khz(spec: CyclicMpcSpec, dts, knots):
+    """Linear interpolation of per-knot values onto the 1 ms grid — the
+    vectorized, static-shape equivalent of the reference's np.linspace loop
+    (abstract_cyclic_gen.py:677-692). ``knots``: (K+1, d) covering the first
+    ``size`` knots; ``dts``: (size,) durations."""
+    bounds = jnp.concatenate([jnp.zeros(1, dts.dtype), jnp.cumsum(dts)])
+    tau = (jnp.arange(spec.n_int, dtype=dts.dtype)) * 0.001
+    k = jnp.clip(jnp.searchsorted(bounds, tau, side="right") - 1, 0, spec.size - 1)
+    t0 = bounds[k]
+    w = jnp.clip((tau - t0) / dts[k], 0.0, 1.0)
+    return knots[k] * (1 - w[:, None]) + knots[k + 1] * w[:, None]
+
+
+def solve_mpc(
+    spec: CyclicMpcSpec,
+    q: jnp.ndarray,  # (nq,)
+    v: jnp.ndarray,  # (nv,)
+    t: jnp.ndarray,  # () gait clock
+    v_des: jnp.ndarray,  # (3,) commanded CoM velocity (base heading frame)
+    w_des: jnp.ndarray,  # () commanded yaw rate
+    admm_cfg: biconvex.BiconvexConfig | None = None,
+    ddp_cfg: ddp.DdpConfig = ddp.DdpConfig(),
+    noise_xy=None,  # optional (H, n_eff, 2) contact-location noise
+) -> MpcPlan:
+    """One full kino-dynamic MPC solve (single sample; vmap for batches)."""
+    p = spec.params
+    m = spec.model.total_mass
+    dtype = q.dtype
+    H, ik_h = spec.horizon, spec.ik_hor
+
+    if admm_cfg is None:
+        admm_cfg = biconvex.BiconvexConfig(rho=p.rho)
+
+    # origin reset (abstract_cyclic_gen.py:632-633)
+    q = q.at[0:2].set(0.0)
+    Rfull = Q.quat_to_rot(q[3:7])
+    v_des_w = Rfull @ v_des  # :641-643
+
+    # current centroidal state
+    com, h_lin, h_ang = K.centroidal_momentum(spec.model, q, v)
+    x_init = jnp.concatenate([com, h_lin / m, h_ang])
+
+    ee_pos = K.frame_positions(spec.model, q, spec.eff_frames)
+    plan, swing_mask = G.create_cnt_plan(
+        spec.gait, spec.planner, H, q, t, v_des_w, w_des, com, ee_pos, noise_xy=noise_xy
+    )
+
+    # --- dynamics costs (create_costs, abstract_cyclic_gen.py:564-614) ---
+    dt_arr = plan.dt
+    xy_nom = x_init[0:2] + jnp.cumsum(
+        v_des_w[None, 0:2] * dt_arr[:, None], axis=0
+    ) - v_des_w[0:2] * dt_arr[0]  # knot 0 anchors at the current CoM
+    X_nom = jnp.zeros((H, 9), dtype)
+    X_nom = X_nom.at[:, 0:2].set(xy_nom)
+    X_nom = X_nom.at[:, 2].set(p.nom_ht)
+    X_nom = X_nom.at[:, 3:6].set(v_des_w)
+
+    # orientation-correction angular momentum (:584-607, :616-627)
+    ori_des = jnp.where(w_des != 0.0, q[3:7], jnp.array([0.0, 0.0, 0.0, 1.0], dtype))
+    des_yaw = Q.yaw_quat(ori_des)
+    amom = Q.log3_quat(Q.quat_mul(des_yaw, Q.quat_conj(q[3:7])))
+    oc = jnp.asarray(p.ori_correction, dtype)
+    yaw_mom = (jnp.asarray(spec.I_comp, dtype) @ jnp.array([0.0, 0.0, 1.0], dtype))[2] * w_des
+    amom_z_nom = jnp.where(w_des == 0.0, amom[2] * oc[2], yaw_mom)
+    X_nom = X_nom.at[:, 6].set(amom[0] * oc[0])
+    X_nom = X_nom.at[:, 7].set(amom[1] * oc[1])
+    X_nom = X_nom.at[:, 8].set(amom_z_nom)
+
+    X_ter = jnp.zeros(9, dtype)
+    X_ter = X_ter.at[0:2].set(x_init[0:2] + (p.gait_horizon * p.gait_period * v_des_w)[0:2])
+    X_ter = X_ter.at[2].set(p.nom_ht)
+    X_ter = X_ter.at[3:6].set(v_des_w)
+    X_ter = X_ter.at[6:8].set(amom[0:2])
+    X_ter = X_ter.at[8].set(jnp.where(w_des == 0.0, amom[2], yaw_mom))
+
+    W = jnp.concatenate(
+        [jnp.tile(jnp.asarray(p.W_X, dtype), (H, 1)), jnp.asarray(p.W_X_ter, dtype)[None]]
+    )
+    X_ref = jnp.concatenate([X_nom, X_ter[None]], axis=0)
+    W_F = jnp.tile(jnp.asarray(p.W_F, dtype).reshape(spec.n_eff, 3), (H, 1, 1))
+
+    b_lo = jnp.array([-spec.bx, -spec.by, 0.0], dtype)
+    b_hi = jnp.array([spec.bx, spec.by, spec.bz], dtype)
+    x_bounds = biconvex.kinematic_box_bounds(plan, b_lo, b_hi)
+
+    X_wm = jnp.tile(x_init, (H + 1, 1))  # kino_dyn.cpp:83-99
+    F_wm = jnp.zeros((H, spec.n_eff, 3), dtype)
+    P_wm = jnp.zeros((H + 1, 9), dtype)
+
+    dyn = biconvex.solve(
+        plan,
+        m,
+        x_init,
+        biconvex.CostX(W=W, X_ref=X_ref),
+        W_F,
+        X_wm,
+        F_wm,
+        P_wm,
+        admm_cfg,
+        x_bounds=x_bounds,
+    )
+
+    # --- IK tracking targets from the dynamics plan (kino_dyn.cpp:50-56) ---
+    com_ref = dyn.X[: ik_h + 1, 0:3]
+    mom_ref = jnp.concatenate(
+        [m * dyn.X[: ik_h + 1, 3:6], dyn.X[: ik_h + 1, 6:9]], axis=-1
+    )
+
+    # swing/contact foot tasks (abstract_cyclic_gen.py:545-554)
+    cnt_ik = plan.cnt[:ik_h]
+    ee_targets = plan.r[:ik_h]
+    via_targets = ee_targets.at[..., 2].set(p.step_ht)
+    is_via = swing_mask[:ik_h] & (cnt_ik == 0)
+    ee_targets = jnp.where(is_via[..., None], via_targets, ee_targets)
+    ee_wts = jnp.where(
+        cnt_ik == 1.0,
+        jnp.asarray(p.swing_wt[0], dtype),
+        jnp.where(is_via, jnp.asarray(p.swing_wt[1], dtype), 0.0),
+    )
+
+    tasks = IK.IkTasks(
+        ee_targets=ee_targets,
+        ee_wts=ee_wts,
+        com_ref=com_ref,
+        mom_ref=mom_ref,
+        com_wt=jnp.asarray(p.cent_wt[0], dtype),
+        mom_wt=jnp.asarray(p.cent_wt[1], dtype),
+        state_wt=jnp.asarray(p.state_wt, dtype),
+        x_reg=jnp.asarray(spec.x_reg, dtype),
+        reg_wt_state=p.reg_wt[0],
+        reg_wt_ctrl=p.reg_wt[1],
+        ctrl_wt=jnp.asarray(p.ctrl_wt, dtype),
+        dts=dt_arr[:ik_h],
+    )
+    x0 = jnp.concatenate([q, v])
+    ik_res = IK.solve_ik(spec.model, spec.eff_frames, x0, tasks, ddp_cfg)
+
+    # --- 1 kHz interpolation (abstract_cyclic_gen.py:677-698) ---
+    sz = spec.size
+    dts_sz = dt_arr[:sz]
+    xs_int = _interp_1khz(spec, dts_sz, ik_res.xs[: sz + 1])
+    us_int = _interp_1khz(spec, dts_sz, jnp.concatenate([ik_res.us, ik_res.us[-1:]])[: sz + 1])
+    f_knots = dyn.F[: sz + 1].reshape(sz + 1, -1)
+    f_int = _interp_1khz(spec, dts_sz, f_knots)
+
+    cnt_plan_out = jnp.concatenate([plan.cnt[..., None], plan.r], axis=-1)
+    return MpcPlan(
+        xs_int=xs_int,
+        us_int=us_int,
+        f_int=f_int,
+        X_opt=dyn.X,
+        F_opt=dyn.F,
+        xs=ik_res.xs,
+        us=ik_res.us,
+        cnt_plan=cnt_plan_out,
+        dyn_violation=dyn.viol_norm,
+        admm_iters=dyn.admm_iters,
+        ik_cost=ik_res.cost,
+    )

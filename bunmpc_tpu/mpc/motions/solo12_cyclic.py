@@ -1,0 +1,126 @@
+"""Solo12 cyclic gait parameter sets.
+
+Numeric twins of the reference gait definitions (reference
+examples/motions/cyclic/solo12_trot.py:13-75, solo12_jump.py, solo12_bound.py)
+— these are the tunable MPC parameters the Bayesian layer searches over.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .params import BiconvexMotionParams
+
+_NJ = 12  # Solo12 actuated joints; nv = 18
+
+
+def _state_wt(base_pos, base_ori, joints_q, base_vel, base_w, joints_v):
+    return np.array(
+        list(base_pos) + list(base_ori) + [joints_q] * _NJ
+        + list(base_vel) + list(base_w) + [joints_v] * _NJ
+    )
+
+
+trot = BiconvexMotionParams(
+    robot_name="solo12",
+    motion_name="trot",
+    gait_period=0.5,
+    stance_percent=(0.6, 0.6, 0.6, 0.6),
+    gait_dt=0.05,
+    phase_offset=(0.0, 0.5, 0.5, 0.0),
+    step_ht=0.075,
+    state_wt=_state_wt([0.0, 0.0, 10.0], [1000.0] * 3, 1.0, [0.0] * 3, [100.0] * 3, 0.5),
+    ctrl_wt=np.array([0.0, 0.0, 1000.0] + [5e2] * 3 + [1.0] * _NJ),
+    swing_wt=(1e4, 1e4),
+    cent_wt=(0.0, 5e2),
+    reg_wt=(5e-2, 1e-5),
+    W_X=np.array([1e-5, 1e-5, 1e5, 1e1, 1e1, 2e2, 1e4, 1e4, 1e4]),
+    W_X_ter=10.0 * np.array([1e5, 1e-5, 1e5, 1e1, 1e1, 2e2, 1e5, 1e5, 1e5]),
+    W_F=np.array([1e1, 1e1, 1e1] * 4),
+    rho=5e4,
+    ori_correction=(0.3, 0.5, 0.4),
+    gait_horizon=2.0,
+    nom_ht=0.2,
+    kp=3.0,
+    kd=0.05,
+)
+
+
+trot_turn = BiconvexMotionParams(
+    robot_name="solo12",
+    motion_name="trot_turn",
+    gait_period=0.5,
+    stance_percent=(0.6, 0.6, 0.6, 0.6),
+    gait_dt=0.05,
+    phase_offset=(0.0, 0.4, 0.4, 0.0),
+    step_ht=0.05,
+    state_wt=_state_wt([0.0, 0.0, 10.0], [1000.0, 1000.0, 10.0], 1.0, [0.0] * 3, [100.0, 100.0, 10.0], 0.5),
+    ctrl_wt=np.array([0.0, 0.0, 1000.0] + [5e2] * 3 + [1.0] * _NJ),
+    swing_wt=(1e4, 1e4),
+    cent_wt=(0.0, 5e2),
+    reg_wt=(5e-2, 1e-5),
+    W_X=np.array([1e-5, 1e-5, 1e5, 1e1, 1e1, 2e2, 1e4, 1e4, 1e4]),
+    W_X_ter=10.0 * np.array([1e5, 1e-5, 1e5, 1e1, 1e1, 2e2, 1e5, 1e5, 1e5]),
+    W_F=np.array([1e1, 1e1, 1e1] * 4),
+    rho=5e4,
+    ori_correction=(0.0, 0.5, 0.4),
+    gait_horizon=1.0,
+    nom_ht=0.2,
+    kp=3.0,
+    kd=0.05,
+)
+
+
+# Jump gait (reference examples/motions/cyclic/solo12_jump.py:13-46)
+jump = BiconvexMotionParams(
+    robot_name="solo12",
+    motion_name="jump",
+    gait_period=0.5,
+    stance_percent=(0.3, 0.3, 0.3, 0.3),
+    gait_dt=0.05,
+    phase_offset=(0.7, 0.7, 0.7, 0.7),
+    step_ht=0.05,
+    state_wt=_state_wt([0.0, 0.0, 10.0], [1000.0] * 3, 1.0, [0.0] * 3, [100.0] * 3, 0.5),
+    ctrl_wt=np.array([0.0, 0.0, 1000.0] + [5e2] * 3 + [1.0] * _NJ),
+    swing_wt=(1e4, 1e4),
+    cent_wt=(0.0, 5e2),
+    reg_wt=(5e-2, 1e-5),
+    W_X=np.array([1e-5, 1e-5, 1e5, 1e1, 1e1, 2e2, 1e4, 1e4, 1e4]),
+    W_X_ter=10.0 * np.array([1e5, 1e-5, 1e5, 1e1, 1e1, 2e2, 1e5, 1e5, 1e5]),
+    W_F=np.array([1e1, 1e1, 1.5e1] * 4),
+    rho=5e4,
+    ori_correction=(0.2, 0.5, 0.4),
+    gait_horizon=3.0,
+    nom_ht=0.25,
+    kp=2.5,
+    kd=0.08,
+)
+
+
+# Bound gait (reference examples/motions/cyclic/solo12_bound.py:13-46)
+bound = BiconvexMotionParams(
+    robot_name="solo12",
+    motion_name="bound",
+    gait_period=0.3,
+    stance_percent=(0.5, 0.5, 0.5, 0.5),
+    gait_dt=0.05,
+    phase_offset=(0.0, 0.0, 0.5, 0.5),
+    step_ht=0.07,
+    state_wt=_state_wt([0.0, 0.0, 1e3], [10.0, 10.0, 10.0], 50.0, [0.0] * 3, [100.0, 10.0, 100.0], 0.5),
+    ctrl_wt=np.array([0.5, 0.5, 0.5] + [1.0] * 3 + [0.5] * _NJ),
+    swing_wt=(1e4, 1e4),
+    cent_wt=(5e1, 5e2),
+    reg_wt=(7e-3, 7e-5),
+    W_X=np.array([1e-5, 1e-5, 5e4, 1e1, 1e1, 1e3, 5e3, 1e4, 5e3]),
+    W_X_ter=10.0 * np.array([1e-5, 1e-5, 5e4, 1e1, 1e1, 1e3, 1e4, 1e4, 1e4]),
+    W_F=np.array([1e1, 1e1, 1.5e1] * 4),
+    rho=5e4,
+    ori_correction=(0.2, 0.8, 0.8),
+    gait_horizon=4.0,
+    nom_ht=0.25,
+    kp=3.0,
+    kd=0.05,
+)
+
+
+GAITS = {"trot": trot, "trot_turn": trot_turn, "jump": jump, "bound": bound}

@@ -162,6 +162,12 @@ def build_model(urdf_path: str, name: str | None = None, root_link: str | None =
     add_body_placeholder()
     weld_subtree(root_link, 0, np.eye(3), np.zeros(3))
 
+    # joint frames (pinocchio exposes operational frames for joints too; the
+    # reference reads hip positions via e.g. the "FL_HFE" frame,
+    # abstract_cyclic_gen.py:55): joint j's frame == child body j+1's origin
+    for j, jn in enumerate(joint_names):
+        frames.setdefault(jn, Frame(body=j + 1, rot=np.eye(3), pos=np.zeros(3)))
+
     limits_arr = np.array(limits) if limits else np.zeros((0, 4))
     return RobotModel(
         name=name or robot.get("name", "robot"),

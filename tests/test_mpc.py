@@ -1,0 +1,159 @@
+"""End-to-end MPC tests — the TPU twin of the reference's canonical
+"does the whole stack run" check (reference
+examples/iterative_algorithm/test_mpc.py:1-100), plus quantitative physics
+assertions the reference never had.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bunmpc_tpu.mpc import gait as G
+from bunmpc_tpu.mpc import kino_dyn as KD
+from bunmpc_tpu.mpc.motions.solo12_cyclic import trot
+from bunmpc_tpu.robots.solo12 import Solo12Config
+
+
+@pytest.fixture(scope="module")
+def spec():
+    model = Solo12Config.load_model()
+    return KD.make_cyclic_spec(model, trot, Solo12Config.q0())
+
+
+@pytest.fixture(scope="module")
+def solve(spec):
+    return jax.jit(lambda q, v, t, vd, wd: KD.solve_mpc(spec, q, v, t, vd, wd))
+
+
+def _solve_once(solve, v_des=(0.2, 0.0, 0.0), w_des=0.0, t=0.0):
+    q = jnp.asarray(Solo12Config.q0())
+    v = jnp.asarray(Solo12Config.v0())
+    return solve(q, v, jnp.asarray(t), jnp.asarray(v_des), jnp.asarray(w_des))
+
+
+def test_gait_phases_trot():
+    """Trot: diagonal pairs share phase; 60% duty cycle (solo12_trot.py:16-19)."""
+    g = G.GaitParams(0.5, (0.6,) * 4, (0.0, 0.5, 0.5, 0.0), 0.05, 0.075)
+    t = jnp.asarray(0.0)
+    st = np.asarray(G.in_stance(g, t))
+    np.testing.assert_array_equal(st, [1, 1, 1, 1])  # offsets 0.5*0.5=0.25<=0.3
+    st = np.asarray(G.in_stance(g, jnp.asarray(0.32)))
+    np.testing.assert_array_equal(st, [0, 1, 1, 0])  # FL/HR swing after 0.3
+    # duty cycle over one period
+    ts = jnp.linspace(0.0, 0.499, 500)
+    frac = np.asarray(G.in_stance(g, ts)).mean(axis=0)
+    np.testing.assert_allclose(frac, 0.6, atol=0.01)
+
+
+def test_first_knot_dt():
+    g = G.GaitParams(0.5, (0.6,) * 4, (0.0, 0.5, 0.5, 0.0), 0.05, 0.075)
+    assert float(G.first_knot_dt(g, jnp.asarray(0.0))) == pytest.approx(0.05)
+    assert float(G.first_knot_dt(g, jnp.asarray(0.02))) == pytest.approx(0.03)
+    assert float(G.first_knot_dt(g, jnp.asarray(0.049))) == pytest.approx(0.05, abs=1e-6)
+
+
+def test_contact_plan_structure(spec):
+    """Contact locations persist while in stance; swing feet land ahead of the
+    hips when walking forward."""
+    model = Solo12Config.load_model()
+    q = jnp.asarray(Solo12Config.q0())
+    from bunmpc_tpu.kin import algorithms as K
+
+    com = K.com(model, q)
+    ee = K.frame_positions(model, q, Solo12Config.eff_names)
+    plan, swing = G.create_cnt_plan(
+        spec.gait,
+        spec.planner,
+        spec.horizon,
+        q,
+        jnp.asarray(0.0),
+        jnp.asarray([0.3, 0.0, 0.0]),
+        jnp.asarray(0.0),
+        com,
+        ee,
+    )
+    cnt = np.asarray(plan.cnt)
+    r = np.asarray(plan.r)
+    # knot 0 keeps measured foot positions
+    np.testing.assert_allclose(r[0], np.asarray(ee), atol=1e-9)
+    # stance persistence: consecutive contact knots share the location
+    for j in range(4):
+        for i in range(1, spec.horizon):
+            if cnt[i, j] == 1 and cnt[i - 1, j] == 1:
+                np.testing.assert_allclose(r[i, j], r[i - 1, j], atol=1e-12)
+    # walking forward: every later touchdown is further ahead in x
+    for j in range(4):
+        tds = [i for i in range(1, spec.horizon) if cnt[i, j] == 1 and cnt[i - 1, j] == 0]
+        xs = [r[i, j, 0] for i in tds]
+        assert all(b > a for a, b in zip(xs, xs[1:]))
+        for i in tds:
+            assert r[i, j, 2] == pytest.approx(spec.planner.foot_size)
+
+
+def test_mpc_solve_standing(solve):
+    plan = _solve_once(solve, v_des=(0.0, 0.0, 0.0))
+    assert float(plan.dyn_violation) < 1e-3
+    F = np.asarray(plan.F_opt)
+    cnt = np.asarray(plan.cnt_plan[..., 0])
+    # total vertical force over a full gait period supports the weight
+    fz_mean = (cnt * F[..., 2]).sum(-1).mean()
+    assert abs(fz_mean - 2.5 * 9.81) < 6.0
+    # friction cone feasible
+    fxy = np.linalg.norm(F[..., :2], axis=-1)
+    assert np.all(fxy <= 1.0 * F[..., 2] + 1e-6)
+    # CoM stays near nominal height
+    assert np.all(np.abs(np.asarray(plan.X_opt[:, 2]) - 0.2) < 0.1)
+
+
+def test_mpc_solve_walking(solve):
+    plan = _solve_once(solve, v_des=(0.3, 0.0, 0.0))
+    assert float(plan.dyn_violation) < 1e-3
+    X = np.asarray(plan.X_opt)
+    # CoM advances in x across the horizon, roughly tracking v_des
+    assert X[-1, 0] > X[0, 0] + 0.1
+    # vcom x tracks the command in the bulk of the horizon
+    assert abs(X[5:15, 3].mean() - 0.3) < 0.15
+    # interpolated plan has the right shapes and starts at the current state
+    assert plan.xs_int.shape == (150, 37)
+    np.testing.assert_allclose(
+        np.asarray(plan.xs_int[0, 7:19]), Solo12Config.q0()[7:], atol=1e-6
+    )
+
+
+def test_mpc_swing_tracking(solve):
+    """IK must lift swing feet toward the via height (step_ht)."""
+    plan = _solve_once(solve, v_des=(0.2, 0.0, 0.0), t=0.32)  # FL/HR in swing
+    from bunmpc_tpu.kin import algorithms as K
+
+    model = Solo12Config.load_model()
+    xs = np.asarray(plan.xs)
+    heights = []
+    for k in range(xs.shape[0]):
+        ee = K.frame_positions(model, jnp.asarray(xs[k, :19]), Solo12Config.eff_names)
+        heights.append(np.asarray(ee)[:, 2])
+    heights = np.stack(heights)
+    # swing feet (FL=0, HR=3) rise above their start within the ik horizon
+    assert heights[:, 0].max() > heights[0, 0] + 0.01
+    assert heights[:, 3].max() > heights[0, 3] + 0.01
+
+
+def test_mpc_vmap_batch(spec):
+    """The flagship property: vmapped MPC — many commands solved in one
+    program, matching single solves."""
+    B = 3
+    q = jnp.tile(jnp.asarray(Solo12Config.q0()), (B, 1))
+    v = jnp.zeros((B, 18))
+    t = jnp.zeros(B)
+    v_des = jnp.asarray([[0.0, 0.0, 0.0], [0.2, 0.0, 0.0], [0.0, 0.1, 0.0]])
+    w_des = jnp.asarray([0.0, 0.0, 0.3])
+    batched = jax.jit(jax.vmap(lambda q, v, t, vd, wd: KD.solve_mpc(spec, q, v, t, vd, wd)))
+    plans = batched(q, v, t, v_des, w_des)
+    assert plans.X_opt.shape == (B, 21, 9)
+    assert np.all(np.asarray(plans.dyn_violation) < 1e-3)
+    single = KD.solve_mpc(
+        spec, q[1], v[1], t[1], v_des[1], w_des[1]
+    )
+    np.testing.assert_allclose(
+        np.asarray(plans.X_opt[1]), np.asarray(single.X_opt), atol=1e-8
+    )
