@@ -1,0 +1,71 @@
+"""Headline benchmark: batched Solo12 trot MPC solves/s on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference BiConMP solves ONE MPC at a time inside a 50 ms
+replanning budget on a desktop CPU, i.e. ~20 solves/s per process
+(reference simulation.py:44, BASELINE.md). ``vs_baseline`` reports our
+batched solves/s against that 20/s figure. The north-star target in
+BASELINE.json is >= 1000 solves/s per host.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bunmpc_tpu.mpc import kino_dyn as KD
+    from bunmpc_tpu.mpc.motions.solo12_cyclic import trot
+    from bunmpc_tpu.robots.solo12 import Solo12Config
+
+    model = Solo12Config.load_model()
+    spec = KD.make_cyclic_spec(model, trot, Solo12Config.q0())
+
+    B = 256
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(np.tile(Solo12Config.q0(), (B, 1)), dtype)
+    q = q.at[:, 7:].add(jnp.asarray(rng.normal(size=(B, 12)) * 0.05, dtype))
+    v = jnp.asarray(rng.normal(size=(B, 18)) * 0.05, dtype)
+    t = jnp.asarray(rng.uniform(0, 0.5, size=B), dtype)
+    v_des = jnp.asarray(
+        np.stack([rng.uniform(-0.3, 0.5, B), rng.uniform(-0.2, 0.2, B), np.zeros(B)], -1), dtype
+    )
+    w_des = jnp.asarray(rng.uniform(-0.3, 0.3, size=B), dtype)
+
+    solve = jax.jit(jax.vmap(lambda q, v, t, vd, wd: KD.solve_mpc(spec, q, v, t, vd, wd)))
+
+    # warm-up / compile
+    plans = jax.block_until_ready(solve(q, v, t, v_des, w_des))
+    ok = float(jnp.mean((plans.dyn_violation < 1e-2).astype(jnp.float32)))
+
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        plans = jax.block_until_ready(solve(q, v, t, v_des, w_des))
+    dt = (time.perf_counter() - t0) / n_rep
+    solves_per_sec = B / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "trot_mpc_solves_per_sec",
+                "value": round(solves_per_sec, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_sec / 20.0, 2),
+                "batch": B,
+                "sec_per_batch": round(dt, 4),
+                "converged_frac": round(ok, 3),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

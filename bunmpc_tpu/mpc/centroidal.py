@@ -26,11 +26,13 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 _G = 9.81
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ContactPlan:
     """Dense contact plan tensor, the exact layout the reference feeds

@@ -1,0 +1,299 @@
+"""Batched rollout engine: MPC / policy / DAgger-style episodes in-graph.
+
+TPU-native twin of the reference ``Simulation`` class (reference
+examples/iterative_algorithm/simulation.py:22-2094). The reference runs one
+PyBullet episode per process with a Python 1 kHz loop; here an episode is a
+``lax.scan`` over replanning windows (outer) and 1 ms control steps (inner),
+with the MPC solve, the inverse-dynamics controller, the physics step, the
+featurization, and the failure predicates all fused into one XLA program.
+``jax.vmap`` over the episode gives thousands of simultaneous rollouts.
+
+Rate structure matches the reference: 1 kHz sim/control, replanning every
+``plan_freq`` (20 Hz -> 50 steps; simulation.py:44, 498-500).
+
+Data captured per step mirrors the reference exactly:
+* state features, n_state=43: [v(18), base_wrt_foot(8), q[2:](17)]
+  (simulation.py:487-489)
+* vc goal, 5: [phase %, v_des_xy, w_des, gait id] (simulation.py:492-495)
+* action: torque / pd_target / structured (simulation.py:525-531)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..kin import algorithms as K
+from ..mpc import kino_dyn as KD
+from ..robots.model import RobotModel
+from ..utils.quat import quat_to_rot, rot_to_rpy
+from . import controllers, physics
+
+
+@dataclasses.dataclass(frozen=True)
+class RolloutConfig:
+    episode_length: int  # total 1 ms steps
+    plan_freq: float = 0.05  # s between replans (20 Hz)
+    sim_dt: float = 0.001
+    action_type: str = "pd_target"  # torque | pd_target | structured
+    kp: float = 3.0  # PD gains of the action parametrization (cfg kp/kd)
+    kd: float = 0.05
+    gait_id: float = 1.0  # vc-goal gait indicator (utils.get_vc_gait_value)
+    fail_angle_deg: float = 30.0
+    gait_period: float = 0.5
+
+    @property
+    def steps_per_plan(self) -> int:
+        return int(round(self.plan_freq / self.sim_dt))
+
+    @property
+    def n_windows(self) -> int:
+        return self.episode_length // self.steps_per_plan
+
+
+class RolloutResult(NamedTuple):
+    states: jnp.ndarray  # (T, 43) state features
+    actions: jnp.ndarray  # (T, 12)
+    vc_goals: jnp.ndarray  # (T, 5)
+    base: jnp.ndarray  # (T, 3) base positions
+    com: jnp.ndarray  # (T, 3)
+    contact_forces: jnp.ndarray  # (T, n_eff, 3) measured ground reactions
+    contact_pos: jnp.ndarray  # (T, n_eff, 3)
+    in_contact: jnp.ndarray  # (T, n_eff)
+    failed: jnp.ndarray  # () True if the failure predicate fired
+    fail_step: jnp.ndarray  # () first failing step (episode_length if none)
+    final_state: physics.SimState
+    mpc_usage: jnp.ndarray  # (T,) 1.0 where the expert (MPC) was in control
+
+
+def state_features(model: RobotModel, eff_frames, q, v):
+    """n_state=43 featurization (simulation.py:487-489)."""
+    feet = K.frame_positions(model, q, eff_frames)
+    base_wrt_foot = (q[..., None, 0:2] - feet[..., 0:2]).reshape(q.shape[:-1] + (-1,))
+    return jnp.concatenate([v, base_wrt_foot, q[..., 2:]], axis=-1)
+
+
+def vc_goal(cfg: RolloutConfig, step, v_des, w_des):
+    """[phase %, v_des_x, v_des_y, w_des, gait id] (simulation.py:492-495).
+    Phase uses the absolute sim step — start_time shifts phase, a reference
+    quirk we keep (SURVEY.md §7.5)."""
+    phase = jnp.mod(step * cfg.sim_dt, cfg.gait_period) / cfg.gait_period
+    return jnp.stack([phase, v_des[..., 0], v_des[..., 1], w_des, jnp.asarray(cfg.gait_id)])
+
+
+def failed_state(cfg: RolloutConfig, q, time_elapsed):
+    """Height/attitude failure envelope (simulation.py:189-220)."""
+    rpy = rot_to_rpy(quat_to_rot(q[..., 3:7]))
+    ang = jnp.deg2rad(cfg.fail_angle_deg)
+    bad = (
+        (q[..., 2] < 0.1)
+        | (q[..., 2] > 2.0)
+        | (jnp.abs(rpy[..., 0]) > ang)
+        | (jnp.abs(rpy[..., 1]) > ang)
+    )
+    grace = time_elapsed > (cfg.gait_period / cfg.sim_dt)
+    return bad & grace
+
+
+_SAFE_HAA_L = (-0.8, 1.5)
+_SAFE_HAA_R = (-1.5, 0.8)
+_SAFE_HFE = (-2.0, 2.0)
+_SAFE_KFE = (-3.0, 3.0)
+
+
+def state_is_dangerous(q, z_bounds=(0.15, 1.0), body_angle_deg=25.0):
+    """SafeDAgger safety box (simulation.py:222-297): attitude + height +
+    per-joint limit boxes (left/right HAA asymmetric)."""
+    rpy = rot_to_rpy(quat_to_rot(q[..., 3:7]))
+    ang = jnp.deg2rad(body_angle_deg)
+    bad = (
+        (q[..., 2] < z_bounds[0])
+        | (q[..., 2] > z_bounds[1])
+        | (jnp.abs(rpy[..., 0]) > ang)
+        | (jnp.abs(rpy[..., 1]) > ang)
+    )
+    lo = jnp.asarray(
+        [_SAFE_HAA_L[0], _SAFE_HFE[0], _SAFE_KFE[0], _SAFE_HAA_R[0], _SAFE_HFE[0], _SAFE_KFE[0]]
+        * 2,
+        q.dtype,
+    )
+    hi = jnp.asarray(
+        [_SAFE_HAA_L[1], _SAFE_HFE[1], _SAFE_KFE[1], _SAFE_HAA_R[1], _SAFE_HFE[1], _SAFE_KFE[1]]
+        * 2,
+        q.dtype,
+    )
+    joints = q[..., 7:]
+    bad = bad | jnp.any((joints < lo) | (joints > hi), axis=-1)
+    return bad
+
+
+def _extract_action(cfg: RolloutConfig, tau, q, v):
+    """Action encodings (simulation.py:525-531); pd_target recovers the
+    implied PD setpoint from the torque (SURVEY.md §7.5)."""
+    if cfg.action_type == "torque":
+        return tau
+    if cfg.action_type == "pd_target":
+        return (tau + cfg.kd * v[..., 6:]) / cfg.kp + q[..., 7:]
+    raise ValueError(f"unsupported action_type {cfg.action_type!r}")
+
+
+def rollout_mpc(
+    spec: KD.CyclicMpcSpec,
+    sim_params: physics.SimParams,
+    cfg: RolloutConfig,
+    state0: physics.SimState,
+    v_des,  # (3,)
+    w_des,  # ()
+    start_time: float = 0.0,
+    push_force=None,  # optional (T, 3) per-step external base force
+    admm_cfg=None,
+    ddp_cfg=None,
+) -> RolloutResult:
+    """MPC expert rollout (reference Simulation.rollout_mpc, simulation.py:340).
+
+    Single sample; vmap over (state0, v_des, w_des) for batches.
+    """
+    model = spec.model
+    eff = spec.eff_frames
+    gains = controllers.IdControllerGains(kp=spec.params.kp, kd=spec.params.kd)
+    spp = cfg.steps_per_plan
+    kwargs = {}
+    if admm_cfg is not None:
+        kwargs["admm_cfg"] = admm_cfg
+    if ddp_cfg is not None:
+        kwargs["ddp_cfg"] = ddp_cfg
+
+    def window(carry, w_idx):
+        state, failed, fail_step = carry
+        sim_t = start_time + w_idx * cfg.plan_freq * 1.0
+        plan = KD.solve_mpc(
+            spec,
+            state.q,
+            state.v,
+            jnp.round(sim_t, 3),
+            v_des,
+            w_des,
+            **kwargs,
+        )
+        mpc_bad = jnp.any(jnp.isnan(plan.f_int)) | jnp.any(jnp.isnan(plan.xs_int))
+
+        def substep(inner, i):
+            state, failed, fail_step = inner
+            step_idx = w_idx * spp + i
+            q, v = state
+            feat = state_features(model, eff, q, v)
+            goal = vc_goal(cfg, start_time / cfg.sim_dt + step_idx, v_des, w_des)
+            q_des = plan.xs_int[i, : model.nq]
+            v_des_traj = plan.xs_int[i, model.nq :]
+            a_des = plan.us_int[i]
+            f_ff = plan.f_int[i]
+            tau_ff, tau_fb = controllers.id_joint_torques(
+                model, eff, gains, q, v, q_des, v_des_traj, a_des, f_ff
+            )
+            tau = tau_ff + tau_fb
+            action = _extract_action(cfg, tau, q, v)
+            fe = None if push_force is None else push_force[step_idx]
+            new_state, cinfo = physics.step(model, eff, sim_params, state, tau, f_ext=fe)
+            now_failed = failed | failed_state(cfg, q, step_idx) | mpc_bad
+            fail_step = jnp.where(
+                now_failed & ~failed, step_idx, fail_step
+            )
+            # freeze the state once failed (the reference breaks the loop)
+            new_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(now_failed, a, b), state, new_state
+            )
+            com = K.com(model, q)
+            out = (feat, action, goal, q[0:3], com, cinfo.forces, cinfo.positions,
+                   cinfo.in_contact)
+            return (new_state, now_failed, fail_step), out
+
+        (state, failed, fail_step), outs = jax.lax.scan(
+            substep, (state, failed, fail_step), jnp.arange(spp)
+        )
+        return (state, failed, fail_step), outs
+
+    init = (state0, jnp.asarray(False), jnp.asarray(cfg.episode_length, jnp.int32))
+    (final_state, failed, fail_step), outs = jax.lax.scan(
+        window, init, jnp.arange(cfg.n_windows)
+    )
+    flat = jax.tree_util.tree_map(lambda a: a.reshape((-1,) + a.shape[2:]), outs)
+    feat, action, goal, base, com, forces, cpos, incnt = flat
+    T = cfg.n_windows * spp
+    return RolloutResult(
+        states=feat,
+        actions=action,
+        vc_goals=goal,
+        base=base,
+        com=com,
+        contact_forces=forces,
+        contact_pos=cpos,
+        in_contact=incnt,
+        failed=failed,
+        fail_step=fail_step,
+        final_state=final_state,
+        mpc_usage=jnp.ones(T),
+    )
+
+
+def rollout_policy(
+    spec: KD.CyclicMpcSpec,
+    sim_params: physics.SimParams,
+    cfg: RolloutConfig,
+    state0: physics.SimState,
+    v_des,
+    w_des,
+    policy_fn: Callable,  # (obs (43+goal,),) -> action (12,)
+    goal_fn: Callable = None,  # optional (step) -> goal vec; default vc goal
+    start_time: float = 0.0,
+    push_force=None,
+) -> RolloutResult:
+    """Policy rollout (reference Simulation.rollout_policy, simulation.py:582):
+    the policy runs at 1 kHz on normalized [state, goal] inputs and emits
+    pd_target actions: tau = kp (a - q_joints) - kd v_joints (simulation.py:
+    764-769)."""
+    model = spec.model
+    eff = spec.eff_frames
+
+    def substep(carry, step_idx):
+        state, failed, fail_step = carry
+        q, v = state
+        feat = state_features(model, eff, q, v)
+        if goal_fn is None:
+            goal = vc_goal(cfg, start_time / cfg.sim_dt + step_idx, v_des, w_des)
+        else:
+            goal = goal_fn(step_idx)
+        action = policy_fn(feat, goal)
+        tau = cfg.kp * (action - q[7:]) - cfg.kd * v[6:]
+        fe = None if push_force is None else push_force[step_idx]
+        new_state, cinfo = physics.step(model, eff, sim_params, state, tau, f_ext=fe)
+        now_failed = failed | failed_state(cfg, q, step_idx)
+        fail_step = jnp.where(now_failed & ~failed, step_idx, fail_step)
+        new_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(now_failed, a, b), state, new_state
+        )
+        com = K.com(model, q)
+        out = (feat, action, goal, q[0:3], com, cinfo.forces, cinfo.positions, cinfo.in_contact)
+        return (new_state, now_failed, fail_step), out
+
+    init = (state0, jnp.asarray(False), jnp.asarray(cfg.episode_length, jnp.int32))
+    (final_state, failed, fail_step), outs = jax.lax.scan(
+        substep, init, jnp.arange(cfg.episode_length)
+    )
+    feat, action, goal, base, com, forces, cpos, incnt = outs
+    return RolloutResult(
+        states=feat,
+        actions=action,
+        vc_goals=goal,
+        base=base,
+        com=com,
+        contact_forces=forces,
+        contact_pos=cpos,
+        in_contact=incnt,
+        failed=failed,
+        fail_step=fail_step,
+        final_state=final_state,
+        mpc_usage=jnp.zeros(cfg.episode_length),
+    )

@@ -40,6 +40,11 @@ class BiconvexConfig:
     soc_mode: str = "exact"
     momentum: str = "reference"
     log_statistics: bool = False  # dyn-violation history (biconvex.hpp:127-139)
+    # "power": fixed FISTA step from a power-iteration Lipschitz estimate
+    # (TPU default — no nested line-search loop); "linesearch": the
+    # reference's backtracking (fista.cpp:6-27), kept for parity testing.
+    step_mode: str = "power"
+    power_iters: int = 8
 
     def fista_cfg(self, soc: bool):
         return fista.FistaConfig(
@@ -124,8 +129,16 @@ def solve(
         def Ax(F):
             return cd.ax_apply(plan, m, X, F)
 
+        def quad_op(y):  # linear part of the gradient (PSD)
+            return 2.0 * (W_F * y + rho * cd.ax_applyT(plan, m, X, Ax(y)))
+
         def grad(y):
             return 2.0 * (W_F * y + rho * cd.ax_applyT(plan, m, X, Ax(y) + bP))
+
+        if cfg.step_mode == "power":
+            L = fista.power_iteration_L(quad_op, F0.shape, F0.dtype, 3, cfg.power_iters)
+            res = fista.solve_fixed_step(F0, grad, proj_f, L, cfg.fista_cfg(True), n_var_dims=3)
+            return res.x, L0
 
         def obj_diff(y1, y0):
             quad = jnp.sum((y1 + y0) * W_F * (y1 - y0), axis=(-3, -2, -1))
@@ -145,8 +158,16 @@ def solve(
         def Af(X):
             return cd.af_apply(plan, m, F, X)
 
+        def quad_op(y):
+            return 2.0 * (cost_x.W * y + rho * cd.af_applyT(plan, m, F, Af(y)))
+
         def grad(y):
             return 2.0 * (cost_x.W * y + rho * cd.af_applyT(plan, m, F, Af(y) + bP)) + q_x
+
+        if cfg.step_mode == "power":
+            L = fista.power_iteration_L(quad_op, X0.shape, X0.dtype, 2, cfg.power_iters)
+            res = fista.solve_fixed_step(X0, grad, proj_x, L, cfg.fista_cfg(False), n_var_dims=2)
+            return res.x, L0
 
         def obj_diff(y1, y0):
             d = y1 - y0

@@ -92,6 +92,82 @@ def soc_projector(mu: float, mode: str = "exact"):
     return proj
 
 
+def power_iteration_L(matvec: Callable, shape, dtype, n_var_dims: int, iters: int = 8, safety: float = 1.25):
+    """Largest-eigenvalue estimate of a PSD operator via power iteration.
+
+    Replaces the reference's backtracking line search (fista.cpp:6-27) with a
+    direct Lipschitz estimate: one bounded ``fori_loop`` of operator
+    applications instead of a data-dependent nested loop — the same fixed
+    point, dramatically cheaper XLA compile and a fixed, predictable step
+    size. ``matvec`` must be linear PSD; batch dims = shape[:-n_var_dims].
+    """
+    z0 = jnp.ones(shape, dtype)
+
+    def body(_, z):
+        w = matvec(z)
+        nrm = jnp.sqrt(_vdot(w, w, n_var_dims))
+        return w / (nrm.reshape(nrm.shape + (1,) * n_var_dims) + 1e-30)
+
+    z = jax.lax.fori_loop(0, iters, body, z0)
+    w = matvec(z)
+    lam = _vdot(z, w, n_var_dims) / (_vdot(z, z, n_var_dims) + 1e-30)
+    return safety * lam
+
+
+def solve_fixed_step(
+    x0: jnp.ndarray,
+    grad_fn: Callable,
+    proj_fn: Callable,
+    L,
+    cfg: FistaConfig,
+    n_var_dims: int = 1,
+) -> FistaResult:
+    """Projected FISTA with a fixed step 1/L (L from ``power_iteration_L``).
+
+    Single bounded ``while_loop`` with per-problem convergence masks — the
+    TPU-friendly variant of :func:`solve` (no nested line-search loop)."""
+    batch_shape = x0.shape[: x0.ndim - n_var_dims]
+    dtype = x0.dtype
+    L = jnp.broadcast_to(jnp.asarray(L, dtype), batch_shape)
+
+    def expand(s):
+        return s.reshape(s.shape + (1,) * n_var_dims)
+
+    def cond(carry):
+        it, done = carry[-2], carry[-1]
+        return jnp.logical_and(~jnp.all(done), it < cfg.max_iters)
+
+    def body(carry):
+        x_k, y_k, t_k, g_norm, iters, it, done = carry
+        grad = grad_fn(y_k)
+        y_next = proj_fn(y_k - grad / expand(L))
+        g = jnp.sqrt(_vdot(y_next - y_k, y_next - y_k, n_var_dims))
+        diff = y_next - x_k
+        if cfg.momentum == "reference":
+            t_next = 1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k) / 2.0
+        else:
+            t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
+        y_mom = y_next + expand((t_k - 1.0) / t_next) * diff
+
+        upd = expand(~done)
+        x_k = jnp.where(upd, y_next, x_k)
+        y_k = jnp.where(upd, y_mom, y_k)
+        t_k = jnp.where(~done, t_next, t_k)
+        g_norm = jnp.where(~done, g, g_norm)
+        iters = jnp.where(~done, it + 1, iters)
+        done = done | (g_norm < cfg.tol)
+        return x_k, y_k, t_k, g_norm, iters, it + 1, done
+
+    t0 = jnp.ones(batch_shape, dtype)
+    g0 = jnp.full(batch_shape, jnp.inf, dtype)
+    done0 = jnp.zeros(batch_shape, bool)
+    iters0 = jnp.zeros(batch_shape, jnp.int32)
+    x, _, _, g_norm, iters, _, _ = jax.lax.while_loop(
+        cond, body, (x0, x0, t0, g0, iters0, jnp.zeros((), jnp.int32), done0)
+    )
+    return FistaResult(x=x, L=L, iters=iters, g_norm=g_norm)
+
+
 def solve(
     x0: jnp.ndarray,
     grad_fn: Callable,
