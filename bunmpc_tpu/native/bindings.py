@@ -1,0 +1,164 @@
+"""ctypes bindings for the native golden solver library.
+
+Builds ``libbunmpc_native.so`` on demand with g++ (pybind11 is not in this
+toolchain; the C ABI + ctypes keeps the dependency surface zero). Used by the
+test suite to cross-validate the batched JAX kernels against an independent
+C++ implementation of the reference solver semantics (SURVEY.md §7.1's
+native-parity requirement).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "src", "bunmpc_native.cpp")
+_LIB = os.path.join(_DIR, "libbunmpc_native.so")
+
+_lib = None
+
+
+def _dptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def build(force: bool = False) -> str:
+    """Compile the shared library if missing or stale."""
+    if (
+        force
+        or not os.path.exists(_LIB)
+        or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+    ):
+        cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB]
+        subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB
+
+
+def load():
+    global _lib
+    if _lib is None:
+        _lib = ctypes.CDLL(build())
+    return _lib
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except Exception:
+        return False
+
+
+def _as64(a):
+    return np.ascontiguousarray(a, dtype=np.float64)
+
+
+def biconvex_solve(
+    cnt,
+    r,
+    dts,
+    m,
+    x_init,
+    W,
+    X_ref,
+    W_F,
+    rho,
+    X_wm,
+    F_wm,
+    max_admm=100,
+    fista_max_iters=150,
+    fista_tol=1e-5,
+    exit_tol=1e-3,
+    beta=1.5,
+    L0_x=2.25e6,
+    L0_f=506.25,
+    mu=1.0,
+    x_bounds=None,
+):
+    """Single biconvex ADMM solve (layouts match mpc/centroidal.py)."""
+    lib = load()
+    H, ne = np.asarray(cnt).shape
+    X = _as64(X_wm).copy()
+    F = _as64(F_wm).copy()
+    viol = ctypes.c_double()
+    iters = ctypes.c_int()
+    lb = ub = None
+    if x_bounds is not None:
+        lb = _as64(np.clip(x_bounds[0], -1e30, 1e30))
+        ub = _as64(np.clip(x_bounds[1], -1e30, 1e30))
+    lib.bunmpc_biconvex_solve(
+        ctypes.c_int(H),
+        ctypes.c_int(ne),
+        ctypes.c_double(m),
+        _dptr(_as64(cnt)),
+        _dptr(_as64(r)),
+        _dptr(_as64(dts)),
+        _dptr(_as64(x_init)),
+        _dptr(_as64(W)),
+        _dptr(_as64(X_ref)),
+        _dptr(_as64(W_F)),
+        ctypes.c_double(rho),
+        ctypes.c_int(max_admm),
+        ctypes.c_int(fista_max_iters),
+        ctypes.c_double(fista_tol),
+        ctypes.c_double(exit_tol),
+        ctypes.c_double(beta),
+        ctypes.c_double(L0_x),
+        ctypes.c_double(L0_f),
+        ctypes.c_double(mu),
+        _dptr(lb) if lb is not None else None,
+        _dptr(ub) if ub is not None else None,
+        _dptr(X),
+        _dptr(F),
+        ctypes.byref(viol),
+        ctypes.byref(iters),
+    )
+    return X, F, viol.value, iters.value
+
+
+def _op(name, H, ne, m, cnt, r, dts, a, b, out_shape):
+    lib = load()
+    out = np.zeros(out_shape)
+    getattr(lib, name)(
+        ctypes.c_int(H),
+        ctypes.c_int(ne),
+        ctypes.c_double(m),
+        _dptr(_as64(cnt)),
+        _dptr(_as64(r)),
+        _dptr(_as64(dts)),
+        _dptr(_as64(a)),
+        *([_dptr(_as64(b))] if b is not None else []),
+        _dptr(out),
+    )
+    return out
+
+
+def ax_apply(cnt, r, dts, m, X, F):
+    H, ne = np.asarray(cnt).shape
+    return _op("bunmpc_ax_apply", H, ne, m, cnt, r, dts, X, F, (H + 1, 9))
+
+
+def af_apply(cnt, r, dts, m, F, X):
+    H, ne = np.asarray(cnt).shape
+    return _op("bunmpc_af_apply", H, ne, m, cnt, r, dts, F, X, (H + 1, 9))
+
+
+def bx_vec(cnt, r, dts, m, X):
+    H, ne = np.asarray(cnt).shape
+    return _op("bunmpc_bx_vec", H, ne, m, cnt, r, dts, X, None, (H + 1, 9))
+
+
+def bf_vec(cnt, r, dts, m, F, x_init):
+    H, ne = np.asarray(cnt).shape
+    return _op("bunmpc_bf_vec", H, ne, m, cnt, r, dts, F, x_init, (H + 1, 9))
+
+
+def soc_project(y, mu):
+    lib = load()
+    out = _as64(y).copy()
+    lib.bunmpc_soc_project(_dptr(out), ctypes.c_int(out.size // 3), ctypes.c_double(mu))
+    return out

@@ -76,8 +76,10 @@ def soc_projector(mu: float, mode: str = "exact"):
         s = sq if mode == "reference" else jnp.sqrt(sq)
         # region 1: inside the cone -> identity
         inside = s <= mu * fz
-        # region 2: inside the polar cone -> project to origin
-        polar = (mu * s <= -fz) | (fz < 0)
+        # region 2: inside the polar cone -> project to origin. The reference
+        # additionally zeroes any fz<0 point (fista.cpp:62) — that is part of
+        # its squared-norm quirk, only reproduced in mode='reference'.
+        polar = (mu * s <= -fz) if mode == "exact" else ((mu * s <= -fz) | (fz < 0))
         # region 3: project onto the cone surface
         s_safe = jnp.where(s > 0, s, 1.0)
         coef = ((mu * mu) * s + mu * fz) / (((mu * mu) + 1.0) * s_safe)
