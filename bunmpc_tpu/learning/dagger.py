@@ -1,0 +1,277 @@
+"""Iterative DAgger / SafeDAgger / LocoSafeDagger drivers.
+
+TPU-native twins of the reference iteration loops (reference
+examples/iterative_algorithm/dagger_modified.py:39-918,
+safedagger_modified.py:51-916, locosafedagger_modified.py:62-627). The
+structure is identical — {train -> roll out with expert mixing/gating ->
+aggregate expert-labeled data} — but every rollout batch of an iteration runs
+as one vmapped device program, and LocoSafeDagger's Bayesian grid update is
+vectorized (learning/bayes.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mpc.kino_dyn import CyclicMpcSpec
+from ..sim import physics, rollout
+from . import bayes
+from . import goals as GU
+from .bc import BcConfig, train_policy
+from .database import Database
+
+
+@dataclasses.dataclass
+class DaggerConfig:
+    """Defaults mirror cfgs/dagger_modified_config.yaml /
+    safedagger_modified_config.yaml."""
+
+    episode_length: int = 2000
+    n_iterations: int = 5
+    rollouts_per_iteration: int = 8
+    mpc_usage_percentage: float = 0.5  # DAgger mixing
+    num_steps_to_block: int = 150  # SafeDAgger safety block
+    vx_range: tuple = (-0.3, 0.5)
+    vy_range: tuple = (-0.2, 0.2)
+    w_range: tuple = (-0.3, 0.3)
+    goal_type: str = "vc"
+    database_size: int = 1_000_000
+    warmup_bc_epochs: int = 150
+    bc: BcConfig = dataclasses.field(default_factory=BcConfig)
+
+
+class _IterativeDriver:
+    """Shared train/rollout/aggregate scaffolding."""
+
+    mode = "dagger"
+
+    def __init__(
+        self,
+        spec: CyclicMpcSpec,
+        cfg: DaggerConfig = DaggerConfig(),
+        sim_params: physics.SimParams = physics.SimParams(),
+        seed: int = 0,
+    ):
+        self.spec = spec
+        self.cfg = cfg
+        self.sim_params = sim_params
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.database = Database(cfg.database_size, goal_type=cfg.goal_type)
+        p = spec.params
+        self.rcfg = rollout.RolloutConfig(
+            episode_length=cfg.episode_length,
+            plan_freq=p.plan_freq,
+            kp=p.kp,
+            kd=p.kd,
+            gait_id=GU.get_vc_gait_value(p.motion_name),
+            gait_period=p.gait_period,
+        )
+        self.policy = None
+        self._params = None
+        self._mpc_rollout = jax.jit(
+            jax.vmap(
+                lambda q, v, vd, wd: rollout.rollout_mpc(
+                    spec, sim_params, self.rcfg, physics.SimState(q=q, v=v), vd, wd
+                )
+            )
+        )
+
+    # --- phases ---
+
+    def warmup(self, q0, v0):
+        """Initial expert data + BC policy (dagger_modified.py:297)."""
+        B = self.cfg.rollouts_per_iteration
+        qb = jnp.asarray(np.tile(q0, (B, 1)), jnp.float32)
+        vb = jnp.asarray(np.tile(v0, (B, 1)), jnp.float32)
+        vds, wds = self._sample_commands(B)
+        res = self._mpc_rollout(qb, vb, vds, wds)
+        self._aggregate(res, expert_only=False)
+        self._train(warmup=True)
+
+    def _sample_commands(self, B):
+        vds, wds = [], []
+        for _ in range(B):
+            v_des, w_des = GU.sample_velocities(
+                self.rng, self.cfg.vx_range, self.cfg.vy_range, self.cfg.w_range
+            )
+            vds.append(v_des)
+            wds.append(w_des)
+        return jnp.asarray(np.stack(vds), jnp.float32), jnp.asarray(np.array(wds), jnp.float32)
+
+    def _train(self, warmup=False):
+        cfg = dataclasses.replace(
+            self.cfg.bc, n_epoch=self.cfg.warmup_bc_epochs if warmup else self.cfg.bc.n_epoch
+        )
+        self.policy, report = train_policy(
+            self.database, cfg, rng_seed=int(self.rng.integers(1 << 31)), params=self._params
+        )
+        self._params = self.policy.params
+        return report
+
+    def _aggregate(self, res, expert_only=True):
+        """Append expert-labeled data; failed episodes skipped, and for gated
+        rollouts only MPC-controlled steps are kept (the DAgger label rule)."""
+        added = 0
+        for b in range(res.states.shape[0]):
+            if bool(res.failed[b]):
+                # keep the pre-failure prefix like the reference's truncated
+                # histories; skip entirely if it failed immediately
+                T = int(res.fail_step[b])
+                if T < 100:
+                    continue
+            else:
+                T = res.states.shape[1]
+            mask = np.asarray(res.mpc_usage[b][:T]) > 0 if expert_only else np.ones(T, bool)
+            if mask.sum() == 0:
+                continue
+            self.database.append(
+                np.asarray(res.states[b][:T])[mask],
+                np.asarray(res.actions[b][:T])[mask],
+                vc_goals=np.asarray(res.vc_goals[b][:T])[mask],
+            )
+            added += int(mask.sum())
+        return added
+
+    def _policy_fn(self):
+        pol = self.policy
+
+        def fn(feat, goal):
+            return pol(feat, goal)
+
+        return fn
+
+    def _make_gated_rollout(self):
+        raise NotImplementedError
+
+    def run(self, q0, v0):
+        """Full loop: warmup then iterate (safedagger_modified.py:464-900)."""
+        self.warmup(q0, v0)
+        logs = []
+        gated = self._make_gated_rollout()
+        for it in range(self.cfg.n_iterations):
+            B = self.cfg.rollouts_per_iteration
+            qb = jnp.asarray(np.tile(q0, (B, 1)), jnp.float32)
+            vb = jnp.asarray(np.tile(v0, (B, 1)), jnp.float32)
+            vds, wds = self._sample_commands(B)
+            self.key, sub = jax.random.split(self.key)
+            keys = jax.random.split(sub, B)
+            res = gated(qb, vb, vds, wds, keys)
+            added = self._aggregate(res)
+            report = self._train()
+            logs.append(
+                {
+                    "iteration": it,
+                    "datapoints_added": added,
+                    "database_size": len(self.database),
+                    "train_loss": report.train_losses[-1],
+                    "valid_loss": report.valid_losses[-1],
+                    "mpc_usage": float(np.mean(np.asarray(res.mpc_usage))),
+                    "failed_frac": float(np.mean(np.asarray(res.failed))),
+                }
+            )
+        return logs
+
+
+class Dagger(_IterativeDriver):
+    """Classic DAgger (reference dagger_modified.py)."""
+
+    mode = "dagger"
+
+    def _make_gated_rollout(self):
+        spec, sp, rcfg, cfg = self.spec, self.sim_params, self.rcfg, self.cfg
+
+        def one(q, v, vd, wd, key):
+            return rollout.rollout_dagger(
+                spec, sp, rcfg, physics.SimState(q=q, v=v), vd, wd,
+                self._policy_fn(), key, mpc_usage_percentage=cfg.mpc_usage_percentage,
+            )
+
+        return jax.jit(jax.vmap(one))
+
+
+class SafeDagger(_IterativeDriver):
+    """Safety-gated DAgger (reference safedagger_modified.py)."""
+
+    mode = "safedagger"
+
+    def _make_gated_rollout(self):
+        spec, sp, rcfg, cfg = self.spec, self.sim_params, self.rcfg, self.cfg
+
+        def one(q, v, vd, wd, key):
+            return rollout.rollout_safedagger(
+                spec, sp, rcfg, physics.SimState(q=q, v=v), vd, wd,
+                self._policy_fn(), num_steps_to_block=cfg.num_steps_to_block,
+            )
+
+        return jax.jit(jax.vmap(one))
+
+
+class LocoSafeDagger(_IterativeDriver):
+    """SafeDAgger + Bayesian goal-distribution update (reference
+    locosafedagger_modified.py:62-627): each iteration samples its training
+    goal from a posterior over the velocity grid, updated with a Gaussian
+    likelihood at the attempted goal; the rollout whose velocity-tracking
+    error is smaller (MPC vs policy) is the one aggregated (:560-605)."""
+
+    mode = "locosafedagger"
+
+    def __init__(self, *args, grid_n: int = 30, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.grid = bayes.GoalGrid.make(
+            self.cfg.vx_range, self.cfg.vy_range, self.cfg.w_range, n=grid_n
+        )
+        self.posterior = self.grid.uniform_prior()
+        self._policy_rollout = None
+
+    def _make_gated_rollout(self):
+        spec, sp, rcfg, cfg = self.spec, self.sim_params, self.rcfg, self.cfg
+
+        def one(q, v, vd, wd, key):
+            return rollout.rollout_safedagger(
+                spec, sp, rcfg, physics.SimState(q=q, v=v), vd, wd,
+                self._policy_fn(), num_steps_to_block=cfg.num_steps_to_block,
+            )
+
+        return jax.jit(jax.vmap(one))
+
+    def run(self, q0, v0):
+        self.warmup(q0, v0)
+        gated = self._make_gated_rollout()
+        logs = []
+        for it in range(self.cfg.n_iterations):
+            goal = bayes.random_sample_from_distribution(self.rng, self.grid, self.posterior)
+            v_des = np.array([goal[0], goal[1], 0.0])
+            w_des = float(goal[2])
+            B = self.cfg.rollouts_per_iteration
+            qb = jnp.asarray(np.tile(q0, (B, 1)), jnp.float32)
+            vb = jnp.asarray(np.tile(v0, (B, 1)), jnp.float32)
+            vds = jnp.asarray(np.tile(v_des, (B, 1)), jnp.float32)
+            wds = jnp.asarray(np.full(B, w_des), jnp.float32)
+            self.key, sub = jax.random.split(self.key)
+            res = gated(qb, vb, vds, wds, jax.random.split(sub, B))
+            added = self._aggregate(res)
+
+            # velocity-tracking error of the episode (actual v vs command)
+            v_actual = np.asarray(res.states[..., 0:2]).reshape(-1, 2)
+            err = float(np.mean(np.sum((v_actual - v_des[:2]) ** 2, axis=-1)))
+            like = bayes.compute_likelihood(self.grid, goal, error=err)
+            self.posterior = bayes.update_goal_distribution(self.posterior, like)
+
+            report = self._train()
+            logs.append(
+                {
+                    "iteration": it,
+                    "goal": goal.tolist(),
+                    "tracking_error": err,
+                    "datapoints_added": added,
+                    "database_size": len(self.database),
+                    "train_loss": report.train_losses[-1],
+                    "valid_loss": report.valid_losses[-1],
+                }
+            )
+        return logs

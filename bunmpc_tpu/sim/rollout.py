@@ -182,7 +182,7 @@ def rollout_mpc(
 
         def substep(inner, i):
             state, failed, fail_step = inner
-            step_idx = w_idx * spp + i
+            step_idx = (w_idx * spp + i).astype(jnp.int32)
             q, v = state
             feat = state_features(model, eff, q, v)
             goal = vc_goal(cfg, start_time / cfg.sim_dt + step_idx, v_des, w_des)
@@ -238,6 +238,170 @@ def rollout_mpc(
     )
 
 
+def _gated_rollout(
+    spec: KD.CyclicMpcSpec,
+    sim_params: physics.SimParams,
+    cfg: RolloutConfig,
+    state0: physics.SimState,
+    v_des,
+    w_des,
+    policy_fn: Callable,
+    gate_fn: Callable,  # (q, window_gate_rng, prev_use_mpc, steps_blocked, step) -> (use_mpc, steps_blocked)
+    start_time: float = 0.0,
+    admm_cfg=None,
+    ddp_cfg=None,
+) -> RolloutResult:
+    """Shared skeleton for expert-gated rollouts (SafeDAgger/DAgger): the MPC
+    solves at every window boundary (fixed shapes — the plan is at most one
+    window stale at a mid-window takeover, a documented deviation from the
+    reference's solve-on-takeover), and a per-step gate picks MPC or policy
+    torques. Recorded actions are whatever acted (the drivers aggregate the
+    MPC-labeled segments)."""
+    model = spec.model
+    eff = spec.eff_frames
+    gains = controllers.IdControllerGains(kp=spec.params.kp, kd=spec.params.kd)
+    spp = cfg.steps_per_plan
+    kwargs = {}
+    if admm_cfg is not None:
+        kwargs["admm_cfg"] = admm_cfg
+    if ddp_cfg is not None:
+        kwargs["ddp_cfg"] = ddp_cfg
+
+    def window(carry, w_idx):
+        state, failed, fail_step, use_mpc, steps_blocked = carry
+        sim_t = start_time + w_idx * cfg.plan_freq
+        plan = KD.solve_mpc(
+            spec, state.q, state.v, jnp.round(sim_t, 3), v_des, w_des, **kwargs
+        )
+
+        def substep(inner, i):
+            state, failed, fail_step, use_mpc, steps_blocked = inner
+            step_idx = (w_idx * spp + i).astype(jnp.int32)
+            q, v = state
+            feat = state_features(model, eff, q, v)
+            goal = vc_goal(cfg, start_time / cfg.sim_dt + step_idx, v_des, w_des)
+            use_mpc, steps_blocked = gate_fn(q, w_idx, i, use_mpc, steps_blocked)
+
+            # expert torques from the window plan
+            q_des = plan.xs_int[i, : model.nq]
+            v_des_traj = plan.xs_int[i, model.nq :]
+            tau_ff, tau_fb = controllers.id_joint_torques(
+                model, eff, gains, q, v, q_des, v_des_traj, plan.us_int[i], plan.f_int[i]
+            )
+            tau_mpc = tau_ff + tau_fb
+            # policy torques
+            action_pol = policy_fn(feat, goal)
+            tau_pol = cfg.kp * (action_pol - q[7:]) - cfg.kd * v[6:]
+
+            tau = jnp.where(use_mpc, tau_mpc, tau_pol)
+            action = jnp.where(use_mpc, _extract_action(cfg, tau_mpc, q, v), action_pol)
+            new_state, cinfo = physics.step(model, eff, sim_params, state, tau)
+            now_failed = failed | failed_state(cfg, q, step_idx)
+            fail_step = jnp.where(now_failed & ~failed, step_idx, fail_step)
+            new_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(now_failed, a, b), state, new_state
+            )
+            com = K.com(model, q)
+            out = (feat, action, goal, q[0:3], com, cinfo.forces, cinfo.positions,
+                   cinfo.in_contact, use_mpc.astype(feat.dtype))
+            return (new_state, now_failed, fail_step, use_mpc, steps_blocked), out
+
+        (state, failed, fail_step, use_mpc, steps_blocked), outs = jax.lax.scan(
+            substep, (state, failed, fail_step, use_mpc, steps_blocked), jnp.arange(spp)
+        )
+        return (state, failed, fail_step, use_mpc, steps_blocked), outs
+
+    init = (
+        state0,
+        jnp.asarray(False),
+        jnp.asarray(cfg.episode_length, jnp.int32),
+        jnp.asarray(False),
+        jnp.zeros((), jnp.int32),
+    )
+    (final_state, failed, fail_step, _, _), outs = jax.lax.scan(
+        window, init, jnp.arange(cfg.n_windows)
+    )
+    flat = jax.tree_util.tree_map(lambda a: a.reshape((-1,) + a.shape[2:]), outs)
+    feat, action, goal, base, com, forces, cpos, incnt, usage = flat
+    return RolloutResult(
+        states=feat,
+        actions=action,
+        vc_goals=goal,
+        base=base,
+        com=com,
+        contact_forces=forces,
+        contact_pos=cpos,
+        in_contact=incnt,
+        failed=failed,
+        fail_step=fail_step,
+        final_state=final_state,
+        mpc_usage=usage,
+    )
+
+
+def rollout_safedagger(
+    spec: KD.CyclicMpcSpec,
+    sim_params: physics.SimParams,
+    cfg: RolloutConfig,
+    state0: physics.SimState,
+    v_des,
+    w_des,
+    policy_fn: Callable,
+    num_steps_to_block: int = 150,
+    start_time: float = 0.0,
+    admm_cfg=None,
+    ddp_cfg=None,
+) -> RolloutResult:
+    """Safety-gated rollout (reference Simulation.rollout_safedagger,
+    simulation.py:1097, gating at :1290-1323): the MPC takes over when the
+    state enters the danger box and keeps control for at least
+    ``num_steps_to_block`` steps after it is safe again."""
+
+    def gate(q, w_idx, i, use_mpc, steps_blocked):
+        dangerous = state_is_dangerous(q)
+        # dangerous -> MPC, reset block counter on fresh takeover
+        steps_blocked = jnp.where(
+            dangerous & ~use_mpc, 0, jnp.where(use_mpc, steps_blocked + 1, steps_blocked)
+        )
+        release = use_mpc & ~dangerous & (steps_blocked >= num_steps_to_block)
+        new_use = jnp.where(dangerous, True, jnp.where(release, False, use_mpc))
+        steps_blocked = jnp.where(release, 0, steps_blocked)
+        return new_use, steps_blocked
+
+    return _gated_rollout(
+        spec, sim_params, cfg, state0, v_des, w_des, policy_fn, gate,
+        start_time=start_time, admm_cfg=admm_cfg, ddp_cfg=ddp_cfg,
+    )
+
+
+def rollout_dagger(
+    spec: KD.CyclicMpcSpec,
+    sim_params: physics.SimParams,
+    cfg: RolloutConfig,
+    state0: physics.SimState,
+    v_des,
+    w_des,
+    policy_fn: Callable,
+    rng_key,
+    mpc_usage_percentage: float = 0.5,
+    start_time: float = 0.0,
+    admm_cfg=None,
+    ddp_cfg=None,
+) -> RolloutResult:
+    """Classic DAgger rollout (reference Simulation.rollout_dagger,
+    simulation.py:1450, mixing at :1584-1589): each replanning window flips a
+    Bernoulli(mpc_usage_percentage) coin for expert vs policy control."""
+    coins = jax.random.uniform(rng_key, (cfg.n_windows,)) < mpc_usage_percentage
+
+    def gate(q, w_idx, i, use_mpc, steps_blocked):
+        return coins[w_idx], steps_blocked
+
+    return _gated_rollout(
+        spec, sim_params, cfg, state0, v_des, w_des, policy_fn, gate,
+        start_time=start_time, admm_cfg=admm_cfg, ddp_cfg=ddp_cfg,
+    )
+
+
 def rollout_policy(
     spec: KD.CyclicMpcSpec,
     sim_params: physics.SimParams,
@@ -258,6 +422,7 @@ def rollout_policy(
     eff = spec.eff_frames
 
     def substep(carry, step_idx):
+        step_idx = step_idx.astype(jnp.int32)
         state, failed, fail_step = carry
         q, v = state
         feat = state_features(model, eff, q, v)
