@@ -32,7 +32,12 @@ from ..solvers import ddp
 
 @dataclasses.dataclass(frozen=True)
 class IkTasks:
-    """Per-solve IK task data (all arrays, single sample; vmap for batches)."""
+    """Per-solve IK task data (all arrays, single sample; vmap for batches).
+
+    ``state_wt``/``x_reg``/``reg_wt_state``/``ctrl_wt``/``reg_wt_ctrl`` may be
+    single vectors/scalars (cyclic gaits) or per-knot arrays with a leading
+    (H+1,) / (H,) axis (acyclic motions with time-windowed regularization,
+    reference abstract_acyclic_gen.py:222-283)."""
 
     ee_targets: jnp.ndarray  # (H, n_eff, 3) tracked foot positions
     ee_wts: jnp.ndarray  # (H, n_eff) per-knot per-foot weights
@@ -40,31 +45,37 @@ class IkTasks:
     mom_ref: jnp.ndarray  # (H+1, 6) [lin(3), ang(3)] momentum targets
     com_wt: jnp.ndarray  # () cent_wt[0]
     mom_wt: jnp.ndarray  # () cent_wt[1]
-    state_wt: jnp.ndarray  # (2nv,) weighted-quad state weights
-    x_reg: jnp.ndarray  # (nq+nv,) regularization state
-    reg_wt_state: float
-    reg_wt_ctrl: float
-    ctrl_wt: jnp.ndarray  # (nv,)
+    state_wt: jnp.ndarray  # (2nv,) or (H+1, 2nv)
+    x_reg: jnp.ndarray  # (nq+nv,) or (H+1, nq+nv)
+    reg_wt_state: float | jnp.ndarray  # scalar or (H+1,)
+    reg_wt_ctrl: float | jnp.ndarray  # scalar or (H,)
+    ctrl_wt: jnp.ndarray  # (nv,) or (H, nv)
     dts: jnp.ndarray  # (H,)
 
 
 def build_residual_fns(model: RobotModel, eff_frames, tasks: IkTasks):
     """Returns (stage_residuals(x, k), term_residuals(x), ctrl_weight (H, nv))."""
     H = tasks.ee_targets.shape[0]
-    nq = model.nq
+    nq, nv = model.nq, model.nv
+
+    state_wt = jnp.broadcast_to(tasks.state_wt, (H + 1, 2 * nv))
+    x_reg = jnp.broadcast_to(tasks.x_reg, (H + 1, nq + nv))
+    reg_wt_state = jnp.broadcast_to(jnp.asarray(tasks.reg_wt_state), (H + 1,))
+    reg_wt_ctrl = jnp.broadcast_to(jnp.asarray(tasks.reg_wt_ctrl), (H,))
+    ctrl_wt = jnp.broadcast_to(tasks.ctrl_wt, (H, nv))
 
     def split(x):
         return x[:nq], x[nq:]
 
-    def common(x):
+    def common(x, k):
         q, v = split(x)
         com, h_lin, h_ang = K.centroidal_momentum(model, q, v)
         ee = K.frame_positions(model, q, eff_frames)  # (n_eff, 3)
-        sdiff = ddp._state_diff(model, tasks.x_reg, x)
+        sdiff = ddp._state_diff(model, x_reg[k], x)
         return com, jnp.concatenate([h_lin, h_ang]), ee, sdiff
 
     def stage_residuals(x, k):
-        com, h, ee, sdiff = common(x)
+        com, h, ee, sdiff = common(x, k)
         r_ee = (ee - tasks.ee_targets[k]).reshape(-1)
         w_ee = jnp.repeat(tasks.ee_wts[k], 3)
         r_com = com - tasks.com_ref[k]
@@ -75,24 +86,24 @@ def build_residual_fns(model: RobotModel, eff_frames, tasks: IkTasks):
                 w_ee,
                 jnp.full(3, tasks.com_wt, x.dtype),
                 jnp.full(6, tasks.mom_wt, x.dtype),
-                tasks.reg_wt_state * tasks.state_wt,
+                reg_wt_state[k] * state_wt[k],
             ]
         )
         return r, w
 
     def term_residuals(x):
-        com, h, _, sdiff = common(x)
+        com, h, _, sdiff = common(x, H)
         r = jnp.concatenate([com - tasks.com_ref[H], h - tasks.mom_ref[H], sdiff])
         w = jnp.concatenate(
             [
                 jnp.full(3, tasks.com_wt, x.dtype),
                 jnp.full(6, tasks.mom_wt, x.dtype),
-                tasks.reg_wt_state * tasks.state_wt,
+                reg_wt_state[H] * state_wt[H],
             ]
         )
         return r, w
 
-    ctrl_weight = tasks.reg_wt_ctrl * jnp.tile(tasks.ctrl_wt, (H, 1))
+    ctrl_weight = reg_wt_ctrl[:, None] * ctrl_wt
     return stage_residuals, term_residuals, ctrl_weight
 
 

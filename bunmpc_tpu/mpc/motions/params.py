@@ -82,5 +82,6 @@ class ACyclicMotionParams:
     ctrl_wt: np.ndarray
     ctrl_reg: np.ndarray
     ctrl_scale: np.ndarray
-    kp: float
-    kd: float
+    kp: object  # scalar or windowed [[kp, t_start, t_end], ...]
+    kd: object
+    cnt_wt: float = 5e4  # IK contact-tracking weight (plan_jump.py:72)
