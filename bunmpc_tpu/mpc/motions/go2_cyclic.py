@@ -1,0 +1,45 @@
+"""Go2 cyclic gait parameters.
+
+The reference ships no Go2 gait file — its robot-agnostic ``AbstractGaitGen``
+(reference examples/mpc/abstract_cyclic_gen1.py:13-96) is the Go2-capable
+path and users supply parameters. This trot set is the Solo12 trot scaled to
+the Go2's 15.1 kg mass and 0.33 m standing height (weights on CoM/momentum
+scale with mass; nominal height, step height and PD gains with size/inertia).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .params import BiconvexMotionParams
+
+_NJ = 12
+
+
+trot = BiconvexMotionParams(
+    robot_name="go2",
+    motion_name="trot",
+    gait_period=0.5,
+    stance_percent=(0.6, 0.6, 0.6, 0.6),
+    gait_dt=0.05,
+    phase_offset=(0.0, 0.5, 0.5, 0.0),
+    step_ht=0.09,
+    state_wt=np.array(
+        [0.0, 0.0, 10.0] + [1000.0] * 3 + [1.0] * _NJ + [0.0] * 3 + [100.0] * 3 + [0.5] * _NJ
+    ),
+    ctrl_wt=np.array([0.0, 0.0, 1000.0] + [5e2] * 3 + [1.0] * _NJ),
+    swing_wt=(1e4, 1e4),
+    cent_wt=(0.0, 5e2),
+    reg_wt=(5e-2, 1e-5),
+    W_X=np.array([1e-5, 1e-5, 1e5, 1e1, 1e1, 2e2, 1e4, 1e4, 1e4]),
+    W_X_ter=10.0 * np.array([1e5, 1e-5, 1e5, 1e1, 1e1, 2e2, 1e5, 1e5, 1e5]),
+    W_F=np.array([1e1, 1e1, 1e1] * 4),
+    rho=2e5,  # scales with mass: ADMM penalty must match 6x larger momentum rows
+    ori_correction=(0.3, 0.5, 0.4),
+    gait_horizon=2.0,
+    nom_ht=0.33,
+    kp=20.0,
+    kd=0.5,
+)
+
+GAITS = {"trot": trot}

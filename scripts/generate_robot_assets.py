@@ -24,6 +24,14 @@ SOURCES = {
 
 def main():
     os.makedirs(ASSETS, exist_ok=True)
+    # Go2 is built programmatically from the xacro constants (no pre-generated
+    # URDF in the reference snapshot) — see bunmpc_tpu/robots/go2.py
+    from bunmpc_tpu.robots.go2 import build_go2_model
+
+    go2 = build_go2_model()
+    out = os.path.join(ASSETS, "go2_model.npz")
+    save_model(go2, out)
+    print(f"wrote {out}: {go2.n_joints} joints, mass {go2.total_mass:.4f} kg")
     for name, urdf in SOURCES.items():
         if not os.path.exists(urdf):
             print(f"skip {name}: source {urdf} not present")
