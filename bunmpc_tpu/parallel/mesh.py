@@ -1,0 +1,52 @@
+"""Device mesh and sharding helpers.
+
+The reference's "scale" is Slurm job farming (SURVEY.md §2.9); here scale is
+a `jax.sharding.Mesh`: rollout/solve batches shard over a 'batch' axis whose
+collectives ride ICI within a slice and DCN across slices. These helpers
+centralize the common patterns used by the learning stack and the driver
+entry points.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def batch_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), axis_names=("batch",))
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a pytree with leading batch axes onto the mesh ('batch' sharded)."""
+    sh = NamedSharding(mesh, P("batch"))
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (parameters, optimizer state) across the mesh."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+
+
+def pad_to_devices(arr: np.ndarray, n_devices: int):
+    """Pad the leading axis to a multiple of the device count (returns the
+    padded array and the original length)."""
+    n = arr.shape[0]
+    rem = (-n) % n_devices
+    if rem:
+        arr = np.concatenate([arr, np.repeat(arr[-1:], rem, axis=0)], axis=0)
+    return arr, n
+
+
+def scaling_efficiency(solves_per_sec: dict[int, float]) -> dict[int, float]:
+    """Scaling efficiency vs the smallest device count (BASELINE.md target:
+    >= 85% at 4 hosts)."""
+    base_n = min(solves_per_sec)
+    base = solves_per_sec[base_n] / base_n
+    return {n: (v / n) / base for n, v in solves_per_sec.items()}

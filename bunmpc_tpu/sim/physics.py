@@ -26,8 +26,10 @@ policies transfer 1:1.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..kin import algorithms as K
@@ -40,8 +42,64 @@ class ContactParams:
     foot_radius: float = 0.018  # collision sphere radius (solo12 foot_size)
     kn: float = 4e3  # normal stiffness [N/m] (~1.5 mm static penetration)
     dn: float = 300.0  # normal damping [N s/m] (implicit -> unconditionally stable)
-    mu: float = 0.8  # Coulomb friction (bullet lateral_friction ~1.0)
+    mu: float = 1.0  # Coulomb friction (bullet lateral_friction, solo12.urdf)
     kt: float = 300.0  # tangential damping [N s/m] (implicit)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["heights"],
+    meta_fields=["origin", "cell"],
+)
+@dataclasses.dataclass(frozen=True)
+class Terrain:
+    """Uneven-ground heightfield (working replacement for the reference's
+    broken Perlin terrain generator, pybullet_env.py:154-201): a regular grid
+    of heights sampled bilinearly; contact normals stay vertical (valid for
+    gentle slopes)."""
+
+    heights: jnp.ndarray  # (N, M) grid of ground heights
+    origin: tuple = (0.0, 0.0)  # world xy of grid[0, 0]
+    cell: float = 0.05  # grid spacing [m]
+
+    def height_at(self, xy):
+        """Bilinear ground height at world xy (..., 2)."""
+        h = jnp.asarray(self.heights)
+        n, m = h.shape
+        gx = (xy[..., 0] - self.origin[0]) / self.cell
+        gy = (xy[..., 1] - self.origin[1]) / self.cell
+        i0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, n - 2)
+        j0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, m - 2)
+        fx = jnp.clip(gx - i0, 0.0, 1.0)
+        fy = jnp.clip(gy - j0, 0.0, 1.0)
+        h00 = h[i0, j0]
+        h10 = h[i0 + 1, j0]
+        h01 = h[i0, j0 + 1]
+        h11 = h[i0 + 1, j0 + 1]
+        return (
+            h00 * (1 - fx) * (1 - fy)
+            + h10 * fx * (1 - fy)
+            + h01 * (1 - fx) * fy
+            + h11 * fx * fy
+        )
+
+
+def random_terrain(key, extent: float = 4.0, cell: float = 0.05, amplitude: float = 0.02, smooth: int = 3):
+    """Random smooth heightfield centered on the origin (terrain fault
+    injection; reference generate_terrain, pybullet_env.py:154)."""
+    import jax.random as jrandom
+
+    n = int(2 * extent / cell)
+    h = amplitude * jrandom.normal(key, (n, n))
+    for _ in range(smooth):  # box blur -> gentle slopes
+        h = (
+            h
+            + jnp.roll(h, 1, 0)
+            + jnp.roll(h, -1, 0)
+            + jnp.roll(h, 1, 1)
+            + jnp.roll(h, -1, 1)
+        ) / 5.0
+    return Terrain(heights=h, origin=(-extent, -extent), cell=cell)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +146,7 @@ def step(
     tau_joints,  # (..., n_joints) commanded joint torques
     f_ext=None,  # optional (..., 3) external force at the base origin (pushes)
     m_ext=None,  # optional (..., 3) external moment on the base
+    terrain: Terrain | None = None,  # optional uneven ground
 ):
     """One 1 ms physics step (semi-implicit Euler), batched."""
     q, v = state
@@ -97,7 +156,8 @@ def step(
     tau_joints = jnp.clip(tau_joints, -params.torque_limit, params.torque_limit)
 
     pos, vels, J = _foot_kinematics(model, eff_frames, q, v)
-    pen = cp.foot_radius - pos[..., 2]  # (..., ne) penetration depth
+    ground = 0.0 if terrain is None else terrain.height_at(pos[..., 0:2])
+    pen = cp.foot_radius - (pos[..., 2] - ground)  # (..., ne) penetration depth
     active = (pen > 0).astype(q.dtype)
 
     # free dynamics

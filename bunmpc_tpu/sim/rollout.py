@@ -130,6 +130,18 @@ def state_is_dangerous(q, z_bounds=(0.15, 1.0), body_angle_deg=25.0):
     return bad
 
 
+def _measure(q, v, q_noise, v_noise):
+    """Apply constant sensor bias to the measured state (quat renormalized,
+    simulation.py:471-477)."""
+    if q_noise is None and v_noise is None:
+        return q, v
+    qm = q if q_noise is None else q + q_noise
+    if q_noise is not None:
+        qm = qm.at[..., 3:7].set(qm[..., 3:7] / jnp.linalg.norm(qm[..., 3:7], axis=-1, keepdims=True))
+    vm = v if v_noise is None else v + v_noise
+    return qm, vm
+
+
 def _extract_action(cfg: RolloutConfig, tau, q, v):
     """Action encodings (simulation.py:525-531); pd_target recovers the
     implied PD setpoint from the torque (SURVEY.md §7.5)."""
@@ -149,12 +161,18 @@ def rollout_mpc(
     w_des,  # ()
     start_time: float = 0.0,
     push_force=None,  # optional (T, 3) per-step external base force
+    terrain=None,  # optional physics.Terrain (uneven ground)
+    q_noise=None,  # optional (nq,) constant sensor bias on measured q
+    v_noise=None,  # optional (nv,) constant sensor bias on measured v
     admm_cfg=None,
     ddp_cfg=None,
 ) -> RolloutResult:
     """MPC expert rollout (reference Simulation.rollout_mpc, simulation.py:340).
 
-    Single sample; vmap over (state0, v_des, w_des) for batches.
+    Single sample; vmap over (state0, v_des, w_des) for batches. Sensor noise
+    follows the reference's scheme (simulation.py:56-61,471-477): a constant
+    per-episode bias added to the *measured* state the controller sees, while
+    the physics integrates the true state.
     """
     model = spec.model
     eff = spec.eff_frames
@@ -169,10 +187,11 @@ def rollout_mpc(
     def window(carry, w_idx):
         state, failed, fail_step = carry
         sim_t = start_time + w_idx * cfg.plan_freq * 1.0
+        qm0, vm0 = _measure(state.q, state.v, q_noise, v_noise)
         plan = KD.solve_mpc(
             spec,
-            state.q,
-            state.v,
+            qm0,
+            vm0,
             jnp.round(sim_t, 3),
             v_des,
             w_des,
@@ -183,7 +202,7 @@ def rollout_mpc(
         def substep(inner, i):
             state, failed, fail_step = inner
             step_idx = (w_idx * spp + i).astype(jnp.int32)
-            q, v = state
+            q, v = _measure(state.q, state.v, q_noise, v_noise)
             feat = state_features(model, eff, q, v)
             goal = vc_goal(cfg, start_time / cfg.sim_dt + step_idx, v_des, w_des)
             q_des = plan.xs_int[i, : model.nq]
@@ -196,7 +215,9 @@ def rollout_mpc(
             tau = tau_ff + tau_fb
             action = _extract_action(cfg, tau, q, v)
             fe = None if push_force is None else push_force[step_idx]
-            new_state, cinfo = physics.step(model, eff, sim_params, state, tau, f_ext=fe)
+            new_state, cinfo = physics.step(
+                model, eff, sim_params, state, tau, f_ext=fe, terrain=terrain
+            )
             now_failed = failed | failed_state(cfg, q, step_idx) | mpc_bad
             fail_step = jnp.where(
                 now_failed & ~failed, step_idx, fail_step
@@ -402,6 +423,66 @@ def rollout_dagger(
     )
 
 
+def cc_goal_fn(model, eff_frames, contact_schedule, goal_horizon: int = 1):
+    """In-graph contact-conditioned goal builder for policy rollouts.
+
+    ``contact_schedule``: (n_eff, n_events, 4) rows [step, x, y, z] from
+    :class:`learning.contact_planner.ContactPlanner` — the desired schedule.
+    Returns ``goal(step_idx, q) -> (3*n_eff*goal_horizon,)`` computing
+    [steps-to-contact, com_x - cx, com_y - cy] per foot per horizon slot,
+    matching utils.construct_cc_goal (reference utils.py:36-102) and the
+    online recomputation in rollout_policy_with_cc_replanning
+    (simulation.py:991-1073)."""
+    sched = jnp.asarray(contact_schedule)
+    ne, n_events, _ = sched.shape
+
+    def goal(step_idx, q):
+        com = K.com(model, q)
+        outs = []
+        for gh in range(goal_horizon):
+            for ee in range(ne):
+                times = sched[ee, :, 0]
+                idx = jnp.clip(
+                    jnp.searchsorted(times, step_idx.astype(times.dtype), side="right") + gh,
+                    0,
+                    n_events - 1,
+                )
+                row = sched[ee, idx]
+                outs.append(
+                    jnp.stack([row[0] - step_idx, com[0] - row[1], com[1] - row[2]])
+                )
+        return jnp.concatenate(outs)
+
+    return goal
+
+
+def rollout_policy_cc(
+    spec: KD.CyclicMpcSpec,
+    sim_params: physics.SimParams,
+    cfg: RolloutConfig,
+    state0: physics.SimState,
+    v_des,
+    w_des,
+    policy_fn: Callable,
+    contact_schedule,  # (n_eff, n_events, 4) desired schedule
+    goal_horizon: int = 1,
+    **kwargs,
+) -> RolloutResult:
+    """Contact-conditioned policy rollout (reference
+    Simulation.rollout_policy_with_cc_replanning, simulation.py:834): the
+    policy consumes cc goals computed online against the desired contact
+    schedule instead of vc goals."""
+    gfn = cc_goal_fn(spec.model, spec.eff_frames, contact_schedule, goal_horizon)
+
+    def goal_with_state(step_idx, q):
+        return gfn(step_idx, q)
+
+    return rollout_policy(
+        spec, sim_params, cfg, state0, v_des, w_des, policy_fn,
+        goal_fn=goal_with_state, **kwargs,
+    )
+
+
 def rollout_policy(
     spec: KD.CyclicMpcSpec,
     sim_params: physics.SimParams,
@@ -410,9 +491,12 @@ def rollout_policy(
     v_des,
     w_des,
     policy_fn: Callable,  # (obs (43+goal,),) -> action (12,)
-    goal_fn: Callable = None,  # optional (step) -> goal vec; default vc goal
+    goal_fn: Callable = None,  # optional (step, q) -> goal vec; default vc goal
     start_time: float = 0.0,
     push_force=None,
+    terrain=None,
+    q_noise=None,
+    v_noise=None,
 ) -> RolloutResult:
     """Policy rollout (reference Simulation.rollout_policy, simulation.py:582):
     the policy runs at 1 kHz on normalized [state, goal] inputs and emits
@@ -424,16 +508,18 @@ def rollout_policy(
     def substep(carry, step_idx):
         step_idx = step_idx.astype(jnp.int32)
         state, failed, fail_step = carry
-        q, v = state
+        q, v = _measure(state.q, state.v, q_noise, v_noise)
         feat = state_features(model, eff, q, v)
         if goal_fn is None:
             goal = vc_goal(cfg, start_time / cfg.sim_dt + step_idx, v_des, w_des)
         else:
-            goal = goal_fn(step_idx)
+            goal = goal_fn(step_idx, q)
         action = policy_fn(feat, goal)
         tau = cfg.kp * (action - q[7:]) - cfg.kd * v[6:]
         fe = None if push_force is None else push_force[step_idx]
-        new_state, cinfo = physics.step(model, eff, sim_params, state, tau, f_ext=fe)
+        new_state, cinfo = physics.step(
+            model, eff, sim_params, state, tau, f_ext=fe, terrain=terrain
+        )
         now_failed = failed | failed_state(cfg, q, step_idx)
         fail_step = jnp.where(now_failed & ~failed, step_idx, fail_step)
         new_state = jax.tree_util.tree_map(

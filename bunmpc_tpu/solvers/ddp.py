@@ -114,10 +114,10 @@ def solve(
         calcDiff: residual Jacobians only, no residual curvature)."""
 
         def r_of_dx(dx):
-            return residuals_fn(_perturb(model, x, dx), k)[0]
+            r, w = residuals_fn(_perturb(model, x, dx), k)
+            return r, (r, w)
 
-        r, w = residuals_fn(x, k)
-        Jr = jax.jacfwd(r_of_dx)(jnp.zeros(ndx, dtype))  # (nr, ndx)
+        Jr, (r, w) = jax.jacfwd(r_of_dx, has_aux=True)(jnp.zeros(ndx, dtype))  # (nr, ndx)
         dt = dts[k]
         Lx = dt * Jr.T @ (w * r)
         Lxx = dt * (Jr.T * w) @ Jr
@@ -145,12 +145,16 @@ def solve(
 
     def backward(xs, us):
         Vx, Vxx = term_derivs(xs[H])
+        # hoist the expensive autodiff derivatives out of the sequential
+        # Riccati scan: one knot-vectorized batch (10x fewer serial dispatch
+        # points on TPU — the scan body shrinks to pure 36x36 algebra)
+        all_derivs = jax.vmap(stage_derivs)(xs[:H], us, jnp.arange(H))
 
         def bwd(carry, k):
             Vx, Vxx = carry
-            x = xs[k]
-            u = us[k]
-            Lx, Lxx, Lu, Luu, Fx, Fu = stage_derivs(x, u, k)
+            Lx, Lxx, Lu, Luu, Fx, Fu = jax.tree_util.tree_map(
+                lambda a: a[k], all_derivs
+            )
             Qx = Lx + Fx.T @ Vx
             Qu = Lu + Fu.T @ Vx
             Qxx = Lxx + Fx.T @ Vxx @ Fx
