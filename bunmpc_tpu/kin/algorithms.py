@@ -110,6 +110,33 @@ def com(model: RobotModel, q):
     return jnp.einsum("n,...ni->...i", mass, c_w) / model.total_mass
 
 
+def centroidal_state_and_frames(model: RobotModel, q, v, frame_names):
+    """Fused evaluation of (com, h_lin, h_ang, frame positions) from ONE
+    forward-kinematics pass — the IK residual hot path (each DDP Gauss-Newton
+    Jacobian differentiates this 36 times; sharing the FK halves the work
+    vs calling centroidal_momentum + frame_positions separately)."""
+    omega, vel, R, p = body_velocities(model, q, v)
+    mass = jnp.asarray(model.mass, dtype=q.dtype)
+    c_b = jnp.asarray(model.com, dtype=q.dtype)
+    c_off = jnp.einsum("...nij,nj->...ni", R, c_b)
+    c_w = p + c_off
+    v_com = vel + jnp.cross(omega, c_off)
+    com_w = jnp.einsum("n,...ni->...i", mass, c_w) / model.total_mass
+    h_lin = jnp.einsum("n,...ni->...i", mass, v_com)
+    I_w = jnp.einsum("...nij,njk,...nlk->...nil", R, jnp.asarray(model.inertia, dtype=q.dtype), R)
+    h_ang_each = jnp.einsum("...nij,...nj->...ni", I_w, omega) + mass[..., :, None] * jnp.cross(
+        c_w - com_w[..., None, :], v_com
+    )
+    frames = []
+    for name in frame_names:
+        f = model.frames[name]
+        frames.append(
+            p[..., f.body, :]
+            + jnp.einsum("...ij,j->...i", R[..., f.body, :, :], jnp.asarray(f.pos, dtype=q.dtype))
+        )
+    return com_w, h_lin, jnp.sum(h_ang_each, axis=-2), jnp.stack(frames, axis=-2)
+
+
 def centroidal_momentum(model: RobotModel, q, v):
     """Centroidal momentum ``h = (h_lin, h_ang)`` about the CoM in world axes,
     plus the CoM itself: returns ``(com, h_lin, h_ang)``.
@@ -196,7 +223,7 @@ def rnea(model: RobotModel, q, v, a, gravity: float = _G):
         alphas.append(alphas[b] + a_w * qdd + jnp.cross(w_p, a_w) * qd)
         accs.append(accs[b] + jnp.cross(alphas[b], r) + jnp.cross(w_p, jnp.cross(w_p, r)))
 
-    mass = model.mass
+    mass = np.asarray(model.mass, dtype=np.dtype(q.dtype))  # keep f32 under x64
     g_vec = jnp.array([0.0, 0.0, -gravity], dtype=q.dtype)
 
     # per-body net force/torque about own CoM

@@ -55,7 +55,11 @@ class _IterativeDriver:
         cfg: DaggerConfig = DaggerConfig(),
         sim_params: physics.SimParams = physics.SimParams(),
         seed: int = 0,
+        admm_cfg=None,
+        ddp_cfg=None,
     ):
+        self.admm_cfg = admm_cfg
+        self.ddp_cfg = ddp_cfg
         self.spec = spec
         self.cfg = cfg
         self.sim_params = sim_params
@@ -76,7 +80,8 @@ class _IterativeDriver:
         self._mpc_rollout = jax.jit(
             jax.vmap(
                 lambda q, v, vd, wd: rollout.rollout_mpc(
-                    spec, sim_params, self.rcfg, physics.SimState(q=q, v=v), vd, wd
+                    spec, sim_params, self.rcfg, physics.SimState(q=q, v=v), vd, wd,
+                    admm_cfg=admm_cfg, ddp_cfg=ddp_cfg,
                 )
             )
         )
@@ -189,6 +194,7 @@ class Dagger(_IterativeDriver):
             return rollout.rollout_dagger(
                 spec, sp, rcfg, physics.SimState(q=q, v=v), vd, wd,
                 self._policy_fn(), key, mpc_usage_percentage=cfg.mpc_usage_percentage,
+                admm_cfg=self.admm_cfg, ddp_cfg=self.ddp_cfg,
             )
 
         return jax.jit(jax.vmap(one))
@@ -206,6 +212,7 @@ class SafeDagger(_IterativeDriver):
             return rollout.rollout_safedagger(
                 spec, sp, rcfg, physics.SimState(q=q, v=v), vd, wd,
                 self._policy_fn(), num_steps_to_block=cfg.num_steps_to_block,
+                admm_cfg=self.admm_cfg, ddp_cfg=self.ddp_cfg,
             )
 
         return jax.jit(jax.vmap(one))
@@ -235,6 +242,7 @@ class LocoSafeDagger(_IterativeDriver):
             return rollout.rollout_safedagger(
                 spec, sp, rcfg, physics.SimState(q=q, v=v), vd, wd,
                 self._policy_fn(), num_steps_to_block=cfg.num_steps_to_block,
+                admm_cfg=self.admm_cfg, ddp_cfg=self.ddp_cfg,
             )
 
         return jax.jit(jax.vmap(one))

@@ -54,6 +54,8 @@ class DataCollection:
         cfg: DataCollectionConfig = DataCollectionConfig(),
         sim_params: physics.SimParams = physics.SimParams(),
         seed: int = 0,
+        admm_cfg=None,
+        ddp_cfg=None,
     ):
         self.spec = spec
         self.cfg = cfg
@@ -82,6 +84,8 @@ class DataCollection:
                     physics.SimState(q=q, v=v),
                     vd,
                     wd,
+                    admm_cfg=admm_cfg,
+                    ddp_cfg=ddp_cfg,
                 ),
             )
         )

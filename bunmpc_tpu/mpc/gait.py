@@ -47,21 +47,24 @@ class GaitParams:
 
 def phi(params: GaitParams, t, foot_offsets=None):
     """Phase time for each foot: fmod(t + offset*period, period) (..., n_eff)."""
-    off = jnp.asarray(params.phase_offset) if foot_offsets is None else foot_offsets
+    t = jnp.asarray(t)
+    off = (
+        jnp.asarray(params.phase_offset, t.dtype) if foot_offsets is None else foot_offsets
+    )
     return jnp.mod(t[..., None] + off * params.gait_period, params.gait_period)
 
 
 def in_stance(params: GaitParams, t):
     """1 if the foot is in stance at time t (..., n_eff); includes the
     reference's 1e-4 boundary tolerance (gait_planner.cpp:46-58)."""
-    st = jnp.asarray(params.stance_percent) * params.gait_period
+    st = jnp.asarray(params.stance_percent, jnp.asarray(t).dtype) * params.gait_period
     ph = phi(params, t)
     return (ph <= st + 1e-4).astype(ph.dtype)
 
 
 def percent_in_phase(params: GaitParams, t):
     """Fraction of the current (stance or swing) phase elapsed (..., n_eff)."""
-    st = jnp.asarray(params.stance_percent) * params.gait_period
+    st = jnp.asarray(params.stance_percent, jnp.asarray(t).dtype) * params.gait_period
     ph = phi(params, t)
     stance = ph <= st + 1e-4
     return jnp.where(stance, ph / st, (ph - st) / (params.gait_period - st))

@@ -69,8 +69,7 @@ def build_residual_fns(model: RobotModel, eff_frames, tasks: IkTasks):
 
     def common(x, k):
         q, v = split(x)
-        com, h_lin, h_ang = K.centroidal_momentum(model, q, v)
-        ee = K.frame_positions(model, q, eff_frames)  # (n_eff, 3)
+        com, h_lin, h_ang, ee = K.centroidal_state_and_frames(model, q, v, eff_frames)
         sdiff = ddp._state_diff(model, x_reg[k], x)
         return com, jnp.concatenate([h_lin, h_ang]), ee, sdiff
 

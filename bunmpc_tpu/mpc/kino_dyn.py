@@ -172,6 +172,7 @@ def solve_mpc(
 
     # origin reset (abstract_cyclic_gen.py:632-633)
     q = q.at[0:2].set(0.0)
+    t = jnp.asarray(t, dtype)  # guard against x64 time arithmetic upstream
     Rfull = Q.quat_to_rot(q[3:7])
     v_des_w = Rfull @ v_des  # :641-643
 

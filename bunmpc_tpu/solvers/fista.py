@@ -108,7 +108,7 @@ def power_iteration_L(matvec: Callable, shape, dtype, n_var_dims: int, iters: in
     def body(_, z):
         w = matvec(z)
         nrm = jnp.sqrt(_vdot(w, w, n_var_dims))
-        return w / (nrm.reshape(nrm.shape + (1,) * n_var_dims) + 1e-30)
+        return (w / (nrm.reshape(nrm.shape + (1,) * n_var_dims) + 1e-30)).astype(dtype)
 
     z = jax.lax.fori_loop(0, iters, body, z0)
     w = matvec(z)

@@ -237,12 +237,28 @@ def se3_integrate(p, q, dv, dw):
     return p_new, q_new
 
 
+def _so3_left_jacobian_inv(w):
+    """Closed-form V(w)^-1 (avoids a batched 3x3 linear solve on the DDP hot
+    path — generic linalg.solve lowers poorly on TPU). Gradient-safe at w=0."""
+    sq = jnp.sum(w * w, axis=-1)[..., None, None]
+    small = sq < 1e-10
+    sq_safe = jnp.where(small, 1.0, sq)
+    t = jnp.sqrt(sq_safe)
+    K = skew(w)
+    K2 = K @ K
+    # coefficient of K2: 1/theta^2 - (1 + cos t) / (2 t sin t); Taylor: 1/12 + t^2/720
+    cot_term = (1.0 + jnp.cos(t)) / (2.0 * t * jnp.sin(t))
+    b = jnp.where(small, 1.0 / 12.0 + sq / 720.0, 1.0 / sq_safe - cot_term)
+    eye = jnp.eye(3, dtype=w.dtype)
+    return eye - 0.5 * K + b * K2
+
+
 def se3_difference(p1, q1, p2, q2):
     """Local-frame twist (dv, dw) with integrate(x1, (dv, dw)) == x2."""
     q_rel = quat_mul(quat_conj(q1), q2)
     dw = log3_quat(q_rel)
     R1 = quat_to_rot(q1)
     dp_local = jnp.einsum("...ji,...j->...i", R1, p2 - p1)
-    V = _so3_left_jacobian(dw)
-    dv = jnp.linalg.solve(V, dp_local[..., None])[..., 0]
+    Vinv = _so3_left_jacobian_inv(dw)
+    dv = jnp.einsum("...ij,...j->...i", Vinv, dp_local)
     return dv, dw
