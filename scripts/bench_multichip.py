@@ -1,0 +1,88 @@
+"""Multi-device scaling benchmark: batched MPC sharded over the mesh.
+
+Measures solves/s at 1..N devices and reports scaling efficiency
+(BASELINE.md target: >= 85% at 4 hosts). On a single-chip machine, run with
+virtual CPU devices to validate the sharded program:
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python scripts/bench_multichip.py
+
+On real multi-chip hardware it reports the true scaling curve.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+
+    # honor an explicit platform request even if the image's sitecustomize
+    # pinned a different one via jax.config (env var alone is overridden)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bunmpc_tpu.mpc import kino_dyn as KD
+    from bunmpc_tpu.mpc.motions.solo12_cyclic import trot
+    from bunmpc_tpu.parallel.mesh import batch_mesh, scaling_efficiency
+    from bunmpc_tpu.robots.solo12 import Solo12Config
+    from bunmpc_tpu.solvers import biconvex, ddp
+
+    args = dict(a.split("=", 1) for a in sys.argv[1:])
+    per_device = int(args.get("per_device", 16))
+    fast = args.get("fast", "1") == "1"
+
+    model = Solo12Config.load_model()
+    spec = KD.make_cyclic_spec(model, trot, Solo12Config.q0())
+    kwargs = {}
+    if fast:  # keep virtual-CPU runs tractable
+        kwargs = dict(
+            admm_cfg=biconvex.BiconvexConfig(rho=trot.rho, max_admm_iters=30),
+            ddp_cfg=ddp.DdpConfig(n_iters=2),
+        )
+
+    n_avail = len(jax.devices())
+    counts = sorted({1, 2, n_avail} & set(range(1, n_avail + 1)))
+    rates = {}
+    for n in counts:
+        mesh = batch_mesh(n)
+        B = per_device * n
+        sh = NamedSharding(mesh, P("batch"))
+        rng = np.random.default_rng(0)
+        q = jax.device_put(
+            jnp.asarray(np.tile(Solo12Config.q0(), (B, 1)), jnp.float32), sh
+        )
+        v = jax.device_put(jnp.zeros((B, 18), jnp.float32), sh)
+        t = jax.device_put(jnp.zeros(B, jnp.float32), sh)
+        vd = jax.device_put(
+            jnp.tile(jnp.asarray([0.2, 0.0, 0.0], jnp.float32), (B, 1)), sh
+        )
+        wd = jax.device_put(jnp.zeros(B, jnp.float32), sh)
+        solve = jax.jit(jax.vmap(lambda *a: KD.solve_mpc(spec, *a, **kwargs)))
+        jax.block_until_ready(solve(q, v, t, vd, wd))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            jax.block_until_ready(solve(q, v, t, vd, wd))
+        dt = (time.perf_counter() - t0) / 3
+        rates[n] = B / dt
+        print(f"{n} devices: B={B} -> {rates[n]:.1f} solves/s")
+
+    eff = scaling_efficiency(rates)
+    if jax.devices()[0].platform == "cpu":
+        print(
+            "NOTE: virtual CPU devices share the same host cores — this run "
+            "validates the sharded program, not scaling efficiency."
+        )
+    print(json.dumps({"rates": rates, "efficiency": eff}))
+
+
+if __name__ == "__main__":
+    main()
