@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -150,25 +151,13 @@ def _interp_1khz(spec: CyclicMpcSpec, dts, knots):
     return knots[k] * (1 - w[:, None]) + knots[k + 1] * w[:, None]
 
 
-def solve_mpc(
-    spec: CyclicMpcSpec,
-    q: jnp.ndarray,  # (nq,)
-    v: jnp.ndarray,  # (nv,)
-    t: jnp.ndarray,  # () gait clock
-    v_des: jnp.ndarray,  # (3,) commanded CoM velocity (base heading frame)
-    w_des: jnp.ndarray,  # () commanded yaw rate
-    admm_cfg: biconvex.BiconvexConfig | None = None,
-    ddp_cfg: ddp.DdpConfig = ddp.DdpConfig(),
-    noise_xy=None,  # optional (H, n_eff, 2) contact-location noise
-) -> MpcPlan:
-    """One full kino-dynamic MPC solve (single sample; vmap for batches)."""
+def _prepare_problem(spec: CyclicMpcSpec, q, v, t, v_des, w_des, noise_xy=None):
+    """Single-sample problem assembly: contact plan + dynamics costs + warm
+    starts (abstract_cyclic_gen.py create_cnt_plan/create_costs)."""
     p = spec.params
     m = spec.model.total_mass
     dtype = q.dtype
-    H, ik_h = spec.horizon, spec.ik_hor
-
-    if admm_cfg is None:
-        admm_cfg = biconvex.BiconvexConfig(rho=p.rho)
+    H = spec.horizon
 
     # origin reset (abstract_cyclic_gen.py:632-633)
     q = q.at[0:2].set(0.0)
@@ -225,20 +214,27 @@ def solve_mpc(
 
     X_wm = jnp.tile(x_init, (H + 1, 1))  # kino_dyn.cpp:83-99
     F_wm = jnp.zeros((H, spec.n_eff, 3), dtype)
-    P_wm = jnp.zeros((H + 1, 9), dtype)
-
-    dyn = biconvex.solve(
-        plan,
-        m,
-        x_init,
-        biconvex.CostX(W=W, X_ref=X_ref),
-        W_F,
-        X_wm,
-        F_wm,
-        P_wm,
-        admm_cfg,
-        x_bounds=x_bounds,
+    return dict(
+        q=q, v=v, plan=plan, swing_mask=swing_mask, x_init=x_init,
+        W=W, X_ref=X_ref, W_F=W_F, x_bounds=x_bounds, X_wm=X_wm, F_wm=F_wm,
     )
+
+
+def _finish_solve(spec: CyclicMpcSpec, prob, dyn_X, dyn_F, dyn_viol, dyn_iters, ddp_cfg):
+    """Single-sample IK + 1 kHz interpolation from the dynamics solution."""
+    p = spec.params
+    m = spec.model.total_mass
+    q, v = prob["q"], prob["v"]
+    plan, swing_mask = prob["plan"], prob["swing_mask"]
+    dtype = q.dtype
+    ik_h = spec.ik_hor
+    dt_arr = plan.dt
+
+    class dyn:
+        X = dyn_X
+        F = dyn_F
+        viol_norm = dyn_viol
+        admm_iters = dyn_iters
 
     # --- IK tracking targets from the dynamics plan (kino_dyn.cpp:50-56) ---
     com_ref = dyn.X[: ik_h + 1, 0:3]
@@ -297,3 +293,97 @@ def solve_mpc(
         admm_iters=dyn.admm_iters,
         ik_cost=ik_res.cost,
     )
+
+
+def solve_mpc(
+    spec: CyclicMpcSpec,
+    q: jnp.ndarray,  # (nq,)
+    v: jnp.ndarray,  # (nv,)
+    t: jnp.ndarray,  # () gait clock
+    v_des: jnp.ndarray,  # (3,) commanded CoM velocity (base heading frame)
+    w_des: jnp.ndarray,  # () commanded yaw rate
+    admm_cfg: biconvex.BiconvexConfig | None = None,
+    ddp_cfg: ddp.DdpConfig = ddp.DdpConfig(),
+    noise_xy=None,  # optional (H, n_eff, 2) contact-location noise
+) -> MpcPlan:
+    """One full kino-dynamic MPC solve (single sample; vmap for batches)."""
+    p = spec.params
+    if admm_cfg is None:
+        admm_cfg = biconvex.BiconvexConfig(rho=p.rho)
+    prob = _prepare_problem(spec, q, v, t, v_des, w_des, noise_xy=noise_xy)
+    H = spec.horizon
+    dtype = q.dtype
+    dyn = biconvex.solve(
+        prob["plan"],
+        spec.model.total_mass,
+        prob["x_init"],
+        biconvex.CostX(W=prob["W"], X_ref=prob["X_ref"]),
+        prob["W_F"],
+        prob["X_wm"],
+        prob["F_wm"],
+        jnp.zeros((H + 1, 9), dtype),
+        admm_cfg,
+        x_bounds=prob["x_bounds"],
+    )
+    return _finish_solve(spec, prob, dyn.X, dyn.F, dyn.viol_norm, dyn.admm_iters, ddp_cfg)
+
+
+def solve_mpc_batch(
+    spec: CyclicMpcSpec,
+    q: jnp.ndarray,  # (B, nq)
+    v: jnp.ndarray,  # (B, nv)
+    t: jnp.ndarray,  # (B,)
+    v_des: jnp.ndarray,  # (B, 3)
+    w_des: jnp.ndarray,  # (B,)
+    admm_cfg=None,  # BiconvexConfig (xla) or pallas_admm.PallasAdmmConfig
+    ddp_cfg: ddp.DdpConfig = ddp.DdpConfig(),
+    admm_backend: str = "pallas",
+) -> MpcPlan:
+    """Batched kino-dynamic MPC with the fused Pallas ADMM kernel.
+
+    The plan/cost assembly and the DDP IK are vmapped; the centroidal ADMM
+    runs as ONE `pallas_call` over the whole batch (solvers/pallas_admm.py),
+    eliminating the per-iteration dispatch overhead of the masked-while XLA
+    path. B must be a multiple of 128 for the pallas backend.
+    """
+    from ..solvers import pallas_admm
+
+    p = spec.params
+    prob = jax.vmap(lambda q, v, t, vd, wd: _prepare_problem(spec, q, v, t, vd, wd))(
+        q, v, t, v_des, w_des
+    )
+    if admm_backend == "pallas":
+        if admm_cfg is None:
+            admm_cfg = pallas_admm.PallasAdmmConfig(rho=p.rho)
+        X, F, viol, iters = pallas_admm.solve(
+            prob["plan"],
+            spec.model.total_mass,
+            prob["x_init"],
+            prob["W"],
+            prob["X_ref"],
+            prob["W_F"],
+            prob["X_wm"],
+            prob["F_wm"],
+            prob["x_bounds"],
+            admm_cfg,
+        )
+    else:
+        if admm_cfg is None:
+            admm_cfg = biconvex.BiconvexConfig(rho=p.rho)
+        H = spec.horizon
+        dyn = biconvex.solve(
+            prob["plan"],
+            spec.model.total_mass,
+            prob["x_init"],
+            biconvex.CostX(W=prob["W"], X_ref=prob["X_ref"]),
+            prob["W_F"],
+            prob["X_wm"],
+            prob["F_wm"],
+            jnp.zeros(prob["X_wm"].shape, q.dtype),
+            admm_cfg,
+            x_bounds=prob["x_bounds"],
+        )
+        X, F, viol, iters = dyn.X, dyn.F, dyn.viol_norm, dyn.admm_iters
+    return jax.vmap(
+        lambda prob, X, F, viol, iters: _finish_solve(spec, prob, X, F, viol, iters, ddp_cfg)
+    )(prob, X, F, viol, iters)

@@ -39,6 +39,10 @@ class DdpConfig:
     n_iters: int = 6
     alphas: tuple = (1.0, 0.7, 0.3, 0.1, 0.03)
     reg: float = 1e-9  # Quu Levenberg regularization (crocoddyl regInit)
+    # recompute the GN derivatives only every k-th iteration (inexact/
+    # quasi-Newton); 1 == exact (crocoddyl behavior). The problem is nearly
+    # LQR so stale derivatives cost little accuracy but ~1/k of the autodiff.
+    derivs_every: int = 1
 
 
 class DdpResult(NamedTuple):
@@ -109,22 +113,14 @@ def solve(
         costs = jax.vmap(stage_cost)(xs[:H], us, jnp.arange(H))
         return jnp.sum(costs) + term_cost(xs[H])
 
-    def stage_derivs(x, u, k):
-        """GN derivatives in tangent coordinates (crocoddyl CostModelResidual
-        calcDiff: residual Jacobians only, no residual curvature)."""
+    def stage_jacobians(x, u, k):
+        """Residual/dynamics Jacobians at (x, u) — the expensive autodiff part."""
 
         def r_of_dx(dx):
             r, w = residuals_fn(_perturb(model, x, dx), k)
-            return r, (r, w)
+            return r, w
 
-        Jr, (r, w) = jax.jacfwd(r_of_dx, has_aux=True)(jnp.zeros(ndx, dtype))  # (nr, ndx)
-        dt = dts[k]
-        Lx = dt * Jr.T @ (w * r)
-        Lxx = dt * (Jr.T * w) @ Jr
-        wu = ctrl_weight[k]
-        Lu = dt * wu * u
-        Luu = dt * jnp.diag(wu)
-
+        Jr, w = jax.jacfwd(r_of_dx, has_aux=True)(jnp.zeros(ndx, dtype))  # (nr, ndx)
         x_next = _step(model, x, u, dts[k])
 
         def f_of_dxu(dxu):
@@ -133,28 +129,42 @@ def solve(
             )
 
         Jf = jax.jacfwd(f_of_dxu)(jnp.zeros(ndx + nv, dtype))  # (ndx, ndx+nv)
-        return Lx, Lxx, Lu, Luu, Jf[:, :ndx], Jf[:, ndx:]
+        return Jr, w, Jf[:, :ndx], Jf[:, ndx:]
 
-    def term_derivs(x):
+    def term_jacobian(x):
         def r_of_dx(dx):
             return term_residuals_fn(_perturb(model, x, dx))[0]
 
-        r, w = term_residuals_fn(x)
-        Jr = jax.jacfwd(r_of_dx)(jnp.zeros(ndx, dtype))
-        return Jr.T @ (w * r), (Jr.T * w) @ Jr
+        return jax.jacfwd(r_of_dx)(jnp.zeros(ndx, dtype))
 
-    def backward(xs, us):
-        Vx, Vxx = term_derivs(xs[H])
-        # hoist the expensive autodiff derivatives out of the sequential
-        # Riccati scan: one knot-vectorized batch (10x fewer serial dispatch
-        # points on TPU — the scan body shrinks to pure 36x36 algebra)
-        all_derivs = jax.vmap(stage_derivs)(xs[:H], us, jnp.arange(H))
+    def all_jacobians(xs, us):
+        """Knot-vectorized Jacobians (hoisted out of the Riccati scan: one
+        batched autodiff dispatch instead of H sequential ones)."""
+        Jr, w, Fx, Fu = jax.vmap(stage_jacobians)(xs[:H], us, jnp.arange(H))
+        Jt = term_jacobian(xs[H])
+        return Jr, w, Fx, Fu, Jt
+
+    def backward(xs, us, jac):
+        """Riccati sweep with gradients from fresh residuals and curvature
+        from the (possibly frozen, cfg.derivs_every) Jacobians — a chord
+        Gauss-Newton step identical to exact GN when the Jacobians are
+        current."""
+        Jr, w, Fx_all, Fu_all, Jt = jac
+        r_all = jax.vmap(lambda x, k: residuals_fn(x, k)[0])(xs[:H], jnp.arange(H))
+        rt, wt = term_residuals_fn(xs[H])
+        Vx = Jt.T @ (wt * rt)
+        Vxx = (Jt.T * wt) @ Jt
 
         def bwd(carry, k):
             Vx, Vxx = carry
-            Lx, Lxx, Lu, Luu, Fx, Fu = jax.tree_util.tree_map(
-                lambda a: a[k], all_derivs
-            )
+            Jk, wk, rk = Jr[k], w[k], r_all[k]
+            dt = dts[k]
+            Lx = dt * Jk.T @ (wk * rk)
+            Lxx = dt * (Jk.T * wk) @ Jk
+            wu = ctrl_weight[k]
+            Lu = dt * wu * us[k]
+            Luu = dt * jnp.diag(wu)
+            Fx, Fu = Fx_all[k], Fu_all[k]
             Qx = Lx + Fx.T @ Vx
             Qu = Lu + Fu.T @ Vx
             Qxx = Lxx + Fx.T @ Vxx @ Fx
@@ -182,9 +192,8 @@ def solve(
         _, (xs_tail, us_new) = jax.lax.scan(f, x0, (jnp.arange(H), xs[:H], us, kffs, Kfbs))
         return jnp.concatenate([x0[None], xs_tail], axis=0), us_new
 
-    def iteration(carry, _):
-        xs, us, cost = carry
-        kffs, Kfbs = backward(xs, us)
+    def iteration(xs, us, cost, jac):
+        kffs, Kfbs = backward(xs, us, jac)
 
         def try_alpha(alpha):
             xs_a, us_a = forward(xs, us, kffs, Kfbs, alpha)
@@ -199,9 +208,15 @@ def solve(
         xs = jnp.where(improved, xs_b, xs)
         us = jnp.where(improved, us_b, us)
         cost = jnp.minimum(cost, cost_b)
-        return (xs, us, cost), None
+        return xs, us, cost
 
-    xs0 = rollout(us0)
-    cost0 = total_cost(xs0, us0)
-    (xs, us, cost), _ = jax.lax.scan(iteration, (xs0, us0, cost0), None, length=cfg.n_iters)
+    xs, us = rollout(us0), us0
+    cost = total_cost(xs, us)
+    # unrolled (n_iters is static): Jacobians refresh every cfg.derivs_every
+    # iterations, gradients are always fresh (chord Gauss-Newton)
+    jac = None
+    for i in range(cfg.n_iters):
+        if i % max(cfg.derivs_every, 1) == 0:
+            jac = all_jacobians(xs, us)
+        xs, us, cost = iteration(xs, us, cost, jac)
     return DdpResult(xs=xs, us=us, cost=cost)
