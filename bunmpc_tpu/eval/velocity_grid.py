@@ -37,6 +37,27 @@ class GridEvalResult:
             "vy_mse_mean": float(np.mean(self.vy_mse[ok])) if ok.any() else float("nan"),
         }
 
+    def to_csv(self, path: str):
+        """Tabular export — the portable stand-in for the reference's xlsx
+        error tables (reference plot/error_data/*.xlsx)."""
+        import csv
+
+        with open(path, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["vx_des", "vy_des", "w_des", "vx_mse", "vy_mse", "survived", "mean_speed"])
+            for i in range(len(self.w_des)):
+                w.writerow(
+                    [
+                        self.v_des[i, 0],
+                        self.v_des[i, 1],
+                        self.w_des[i],
+                        self.vx_mse[i],
+                        self.vy_mse[i],
+                        int(self.survived[i]),
+                        self.mean_speed[i],
+                    ]
+                )
+
 
 def _evaluate(res, v_des, w_des, skip_steps: int):
     v_act = np.asarray(res.states[..., 0:2])  # local-frame base velocity

@@ -142,13 +142,16 @@ def _measure(q, v, q_noise, v_noise):
     return qm, vm
 
 
-def _extract_action(cfg: RolloutConfig, tau, q, v):
+def _extract_action(cfg: RolloutConfig, tau, q, v, tau_ff=None, q_des=None, v_des_traj=None):
     """Action encodings (simulation.py:525-531); pd_target recovers the
-    implied PD setpoint from the torque (SURVEY.md §7.5)."""
+    implied PD setpoint from the torque; "structured" captures
+    [tau_ff, q_des_joints, v_des_joints] (SURVEY.md §7.5)."""
     if cfg.action_type == "torque":
         return tau
     if cfg.action_type == "pd_target":
         return (tau + cfg.kd * v[..., 6:]) / cfg.kp + q[..., 7:]
+    if cfg.action_type == "structured":
+        return jnp.concatenate([tau_ff, q_des[..., 7:], v_des_traj[..., 6:]], axis=-1)
     raise ValueError(f"unsupported action_type {cfg.action_type!r}")
 
 
@@ -213,7 +216,9 @@ def rollout_mpc(
                 model, eff, gains, q, v, q_des, v_des_traj, a_des, f_ff
             )
             tau = tau_ff + tau_fb
-            action = _extract_action(cfg, tau, q, v)
+            action = _extract_action(
+                cfg, tau, q, v, tau_ff=tau_ff, q_des=q_des, v_des_traj=v_des_traj
+            )
             fe = None if push_force is None else push_force[step_idx]
             new_state, cinfo = physics.step(
                 model, eff, sim_params, state, tau, f_ext=fe, terrain=terrain
