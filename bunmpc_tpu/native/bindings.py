@@ -162,3 +162,39 @@ def soc_project(y, mu):
     out = _as64(y).copy()
     lib.bunmpc_soc_project(_dptr(out), ctypes.c_int(out.size // 3), ctypes.c_double(mu))
     return out
+
+
+# --- gait planner twins (reference gait_planner.cpp) ---
+
+
+def gait_phase(t, period, offset, stance_percent):
+    lib = load()
+    lib.bunmpc_gait_phase.restype = ctypes.c_int
+    return lib.bunmpc_gait_phase(
+        ctypes.c_double(t), ctypes.c_double(period), ctypes.c_double(offset),
+        ctypes.c_double(stance_percent),
+    )
+
+
+def gait_percent_in_phase(t, period, offset, stance_percent):
+    lib = load()
+    lib.bunmpc_gait_percent_in_phase.restype = ctypes.c_double
+    return lib.bunmpc_gait_percent_in_phase(
+        ctypes.c_double(t), ctypes.c_double(period), ctypes.c_double(offset),
+        ctypes.c_double(stance_percent),
+    )
+
+
+def gait_contact_plan(t, dt, horizon, period, offsets, stance_percent):
+    lib = load()
+    offsets = _as64(offsets)
+    sp = _as64(stance_percent)
+    ne = len(offsets)
+    out = np.zeros((horizon, ne), np.int32)
+    per = np.array([period], np.float64)
+    lib.bunmpc_gait_contact_plan(
+        ctypes.c_double(t), ctypes.c_double(dt), ctypes.c_int(horizon), ctypes.c_int(ne),
+        _dptr(per), _dptr(offsets), _dptr(sp),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return out

@@ -346,3 +346,38 @@ void bunmpc_soc_project(double* y, int n_vec3, double mu) {
 }
 
 }  // extern "C"
+
+// --- cyclic gait phase machine (reference src/gait_planner/gait_planner.cpp:31-121) ---
+
+extern "C" {
+
+double bunmpc_gait_phi(double t, double period, double offset) {
+  return std::fmod(t + offset * period, period);
+}
+
+int bunmpc_gait_phase(double t, double period, double offset, double stance_percent) {
+  const double phi = bunmpc_gait_phi(t, period, offset);
+  const double st = stance_percent * period;
+  // includes the reference's 1e-4 boundary tolerance (gait_planner.cpp:48-49)
+  return (phi <= st || std::fabs(phi - st) < 1e-4) ? 1 : 0;
+}
+
+double bunmpc_gait_percent_in_phase(double t, double period, double offset,
+                                    double stance_percent) {
+  const double phi = bunmpc_gait_phi(t, period, offset);
+  const double st = stance_percent * period;
+  if (phi <= st + 1e-4) return phi / st;
+  return (phi - st) / (period - st);
+}
+
+// batched horizon plan: out (horizon, n_eff) 0/1 flags
+void bunmpc_gait_contact_plan(double t, double dt, int horizon, int n_eff,
+                              const double* period, const double* offsets,
+                              const double* stance_percent, int* out) {
+  for (int i = 0; i < horizon; ++i)
+    for (int j = 0; j < n_eff; ++j)
+      out[i * n_eff + j] =
+          bunmpc_gait_phase(t + i * dt, period[0], offsets[j], stance_percent[j]);
+}
+
+}  // extern "C"

@@ -120,3 +120,23 @@ def test_admm_solve_parity(problem):
         biconvex.BiconvexConfig(rho=5e4, step_mode="power"),
     )
     np.testing.assert_allclose(np.asarray(res2.X), Xn.reshape(H + 1, 9), atol=2e-3)
+
+
+def test_gait_planner_parity():
+    """JAX gait phase machine vs the native twin over a dense time grid."""
+    import jax.numpy as jnp
+
+    from bunmpc_tpu.mpc import gait as G
+
+    g = G.GaitParams(0.5, (0.6, 0.6, 0.6, 0.6), (0.0, 0.5, 0.5, 0.0), 0.05, 0.075)
+    ts = np.linspace(0.0, 1.5, 301)
+    mine = np.asarray(G.in_stance(g, jnp.asarray(ts))).astype(int)
+    for j in range(4):
+        theirs = np.array(
+            [nat.gait_phase(t, 0.5, g.phase_offset[j], 0.6) for t in ts]
+        )
+        np.testing.assert_array_equal(mine[:, j], theirs)
+    # horizon plan
+    plan_nat = nat.gait_contact_plan(0.12, 0.05, 20, 0.5, g.phase_offset, g.stance_percent)
+    plan_jax = np.asarray(G.contact_phase_plan(g, jnp.asarray(0.12), 20, 0.05)).astype(int)
+    np.testing.assert_array_equal(plan_jax, plan_nat)
