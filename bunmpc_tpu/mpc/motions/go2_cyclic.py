@@ -3,8 +3,10 @@
 The reference ships no Go2 gait file — its robot-agnostic ``AbstractGaitGen``
 (reference examples/mpc/abstract_cyclic_gen1.py:13-96) is the Go2-capable
 path and users supply parameters. This trot set is the Solo12 trot scaled to
-the Go2's 15.1 kg mass and 0.33 m standing height (weights on CoM/momentum
-scale with mass; nominal height, step height and PD gains with size/inertia).
+the Go2's 15.1 kg mass and ~0.30 m standing height (rho and PD gains scale
+with mass/inertia). Status: MPC solves converge and in-sim stepping-in-place
+is stable (<16 deg attitude); forward-walk gait tuning is tracked in
+ROADMAP.md.
 """
 
 from __future__ import annotations
@@ -37,9 +39,9 @@ trot = BiconvexMotionParams(
     rho=2e5,  # scales with mass: ADMM penalty must match 6x larger momentum rows
     ori_correction=(0.3, 0.5, 0.4),
     gait_horizon=2.0,
-    nom_ht=0.33,
-    kp=20.0,
-    kd=0.5,
+    nom_ht=0.30,
+    kp=25.0,
+    kd=1.0,
 )
 
 GAITS = {"trot": trot}
