@@ -12,6 +12,8 @@ vectorized (learning/bayes.py).
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -153,12 +155,76 @@ class _IterativeDriver:
     def _make_gated_rollout(self):
         raise NotImplementedError
 
-    def run(self, q0, v0):
-        """Full loop: warmup then iterate (safedagger_modified.py:464-900)."""
-        self.warmup(q0, v0)
-        logs = []
+    # --- elastic checkpoint / resume (SURVEY.md §5.3-5.4: the reference has
+    # none — Slurm timeouts kill the loop and all progress; here the full
+    # driver state persists per iteration and the loop resumes exactly) ---
+
+    def _extra_state(self) -> dict:
+        """Subclass hook: extra arrays to persist (e.g. Bayesian posterior)."""
+        return {}
+
+    def _load_extra_state(self, z):
+        pass
+
+    def save_checkpoint(self, ckpt_dir: str, iteration: int, logs: list):
+        from ..utils import checkpoint as CK
+
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self.database.save(os.path.join(ckpt_dir, "database.hdf5"))
+        if self.policy is not None:
+            CK.save_policy(self.policy, os.path.join(ckpt_dir, "policy"))
+        np.savez(
+            os.path.join(ckpt_dir, "driver_state.npz"),
+            key=np.asarray(self.key),
+            **self._extra_state(),
+        )
+        state = {
+            "mode": self.mode,
+            "next_iteration": iteration,
+            "logs": logs,
+            "rng_state": self.rng.bit_generator.state,
+        }
+        tmp = os.path.join(ckpt_dir, "state.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, os.path.join(ckpt_dir, "state.json"))
+
+    def load_checkpoint(self, ckpt_dir: str):
+        """Restore driver state; returns (next_iteration, logs)."""
+        from ..utils import checkpoint as CK
+
+        with open(os.path.join(ckpt_dir, "state.json")) as fh:
+            state = json.load(fh)
+        if state["mode"] != self.mode:
+            raise ValueError(f"checkpoint mode {state['mode']!r} != driver {self.mode!r}")
+        self.database.load_saved_database(os.path.join(ckpt_dir, "database.hdf5"))
+        pol_dir = os.path.join(ckpt_dir, "policy")
+        if os.path.exists(os.path.join(pol_dir, "meta.json")):
+            self.policy = CK.load_policy(pol_dir)
+            self._params = self.policy.params
+        z = np.load(os.path.join(ckpt_dir, "driver_state.npz"))
+        self.key = jnp.asarray(z["key"])
+        self._load_extra_state(z)
+        self.rng.bit_generator.state = state["rng_state"]
+        return state["next_iteration"], state["logs"]
+
+    def run(self, q0, v0, checkpoint_dir: str | None = None, resume: bool = False):
+        """Full loop: warmup then iterate (safedagger_modified.py:464-900).
+
+        With ``checkpoint_dir`` the full driver state (database, policy,
+        RNG streams, loop counter) is snapshotted after every iteration;
+        ``resume=True`` continues from the last snapshot."""
+        start_it, logs = 0, []
+        if resume and checkpoint_dir and os.path.exists(
+            os.path.join(checkpoint_dir, "state.json")
+        ):
+            start_it, logs = self.load_checkpoint(checkpoint_dir)
+        else:
+            self.warmup(q0, v0)
+            if checkpoint_dir:
+                self.save_checkpoint(checkpoint_dir, 0, logs)
         gated = self._make_gated_rollout()
-        for it in range(self.cfg.n_iterations):
+        for it in range(start_it, self.cfg.n_iterations):
             B = self.cfg.rollouts_per_iteration
             qb = jnp.asarray(np.tile(q0, (B, 1)), jnp.float32)
             vb = jnp.asarray(np.tile(v0, (B, 1)), jnp.float32)
@@ -179,6 +245,8 @@ class _IterativeDriver:
                     "failed_frac": float(np.mean(np.asarray(res.failed))),
                 }
             )
+            if checkpoint_dir:
+                self.save_checkpoint(checkpoint_dir, it + 1, logs)
         return logs
 
 
@@ -235,6 +303,13 @@ class LocoSafeDagger(_IterativeDriver):
         self.posterior = self.grid.uniform_prior()
         self._policy_rollout = None
 
+    def _extra_state(self):
+        return {"posterior": np.asarray(self.posterior)}
+
+    def _load_extra_state(self, z):
+        if "posterior" in z.files:
+            self.posterior = jnp.asarray(z["posterior"])
+
     def _make_gated_rollout(self):
         spec, sp, rcfg, cfg = self.spec, self.sim_params, self.rcfg, self.cfg
 
@@ -247,11 +322,18 @@ class LocoSafeDagger(_IterativeDriver):
 
         return jax.jit(jax.vmap(one))
 
-    def run(self, q0, v0):
-        self.warmup(q0, v0)
+    def run(self, q0, v0, checkpoint_dir: str | None = None, resume: bool = False):
+        start_it, logs = 0, []
+        if resume and checkpoint_dir and os.path.exists(
+            os.path.join(checkpoint_dir, "state.json")
+        ):
+            start_it, logs = self.load_checkpoint(checkpoint_dir)
+        else:
+            self.warmup(q0, v0)
+            if checkpoint_dir:
+                self.save_checkpoint(checkpoint_dir, 0, logs)
         gated = self._make_gated_rollout()
-        logs = []
-        for it in range(self.cfg.n_iterations):
+        for it in range(start_it, self.cfg.n_iterations):
             goal = bayes.random_sample_from_distribution(self.rng, self.grid, self.posterior)
             v_des = np.array([goal[0], goal[1], 0.0])
             w_des = float(goal[2])
@@ -282,4 +364,6 @@ class LocoSafeDagger(_IterativeDriver):
                     "valid_loss": report.valid_losses[-1],
                 }
             )
+            if checkpoint_dir:
+                self.save_checkpoint(checkpoint_dir, it + 1, logs)
         return logs

@@ -84,6 +84,8 @@ def solve(
     ctrl_weight: jnp.ndarray,  # (H, nv) diagonal Luu weights (already * reg_wt)
     term_residuals_fn: Callable,  # (x) -> (r, w)
     cfg: DdpConfig = DdpConfig(),
+    stage_jac_fn: Callable | None = None,  # (x, u, k) -> (Jr, w, Fx, Fu)
+    term_jac_fn: Callable | None = None,  # (x) -> Jt
 ) -> DdpResult:
     """Minimize sum_k dt_k*[0.5 r_k' W_k r_k + 0.5 u' Wu u] + 0.5 r_N' W_N r_N."""
     nv = model.nv
@@ -139,9 +141,13 @@ def solve(
 
     def all_jacobians(xs, us):
         """Knot-vectorized Jacobians (hoisted out of the Riccati scan: one
-        batched autodiff dispatch instead of H sequential ones)."""
-        Jr, w, Fx, Fu = jax.vmap(stage_jacobians)(xs[:H], us, jnp.arange(H))
-        Jt = term_jacobian(xs[H])
+        batched autodiff dispatch instead of H sequential ones). When the
+        caller provides structured/analytic Jacobian functions (mpc/ik.py
+        build_jacobian_fns) those replace the brute-force tangent jacfwd —
+        the dominant cost of the whole MPC solve."""
+        sj = stage_jac_fn if stage_jac_fn is not None else stage_jacobians
+        Jr, w, Fx, Fu = jax.vmap(sj)(xs[:H], us, jnp.arange(H))
+        Jt = (term_jac_fn if term_jac_fn is not None else term_jacobian)(xs[H])
         return Jr, w, Fx, Fu, Jt
 
     def backward(xs, us, jac):

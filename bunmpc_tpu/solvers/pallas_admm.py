@@ -424,15 +424,19 @@ class _SqueezeRef:
         self._ref = ref
 
     def __getitem__(self, idx):
-        if idx is Ellipsis or idx == slice(None):
+        if idx is Ellipsis or (isinstance(idx, slice) and idx == slice(None)):
             return self._ref[:][0]
-        raise NotImplementedError
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        return self._ref[(0,) + idx]
 
     def __setitem__(self, idx, val):
-        if idx is Ellipsis or idx == slice(None):
+        if idx is Ellipsis or (isinstance(idx, slice) and idx == slice(None)):
             self._ref[:] = val[None]
             return
-        raise NotImplementedError
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        self._ref[(0,) + idx] = val
 
 
 def _squeeze_kernel(kern, *refs):

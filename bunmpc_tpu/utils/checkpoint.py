@@ -34,12 +34,19 @@ def save_policy(bundle: PolicyBundle, path: str):
         f"param::{'/'.join(map(str, k))}": np.asarray(v)
         for k, v in jax.tree_util.tree_flatten_with_path(bundle.params)[0]
     }
+    def _stat(v):
+        # python-float stats (e.g. goal_mean=0.0) would round-trip as float64
+        # and silently promote the whole policy (and any jitted rollout carry
+        # that consumes its actions) to f64 under x64 — pin the framework dtype
+        a = np.asarray(v)
+        return a.astype(np.float32) if np.issubdtype(a.dtype, np.floating) else a
+
     np.savez_compressed(
         os.path.join(path, "payload.npz"),
-        state_mean=np.asarray(bundle.state_mean),
-        state_std=np.asarray(bundle.state_std),
-        goal_mean=np.asarray(bundle.goal_mean),
-        goal_std=np.asarray(bundle.goal_std),
+        state_mean=_stat(bundle.state_mean),
+        state_std=_stat(bundle.state_std),
+        goal_mean=_stat(bundle.goal_mean),
+        goal_std=_stat(bundle.goal_std),
         **flat,
     )
 
@@ -61,13 +68,19 @@ def load_policy(path: str) -> PolicyBundle:
         node[_clean(parts[-1])] = z[key]
     import jax.numpy as jnp
 
+    def _stat(a):
+        # guard against f64 stats in pre-existing checkpoints (see save_policy)
+        return jnp.asarray(
+            a.astype(np.float32) if np.issubdtype(a.dtype, np.floating) else a
+        )
+
     return PolicyBundle(
         module=module,
         params=params,
-        state_mean=jnp.asarray(z["state_mean"]),
-        state_std=jnp.asarray(z["state_std"]),
-        goal_mean=jnp.asarray(z["goal_mean"]),
-        goal_std=jnp.asarray(z["goal_std"]),
+        state_mean=_stat(z["state_mean"]),
+        state_std=_stat(z["state_std"]),
+        goal_mean=_stat(z["goal_mean"]),
+        goal_std=_stat(z["goal_std"]),
     )
 
 

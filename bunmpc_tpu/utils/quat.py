@@ -262,3 +262,75 @@ def se3_difference(p1, q1, p2, q2):
     Vinv = _so3_left_jacobian_inv(dw)
     dv = jnp.einsum("...ij,...j->...i", Vinv, dp_local)
     return dv, dw
+
+
+def _se3_Q(rho, w):
+    """Barfoot's Q(ξ) block for the SE(3) left Jacobian, ξ = [rho (lin), w (ang)].
+
+    Jl6(ξ) = [[Jl3(w), Q], [0, Jl3(w)]]. Gradient-safe Taylor branches at w=0.
+    Validated against autodiff of se3_integrate (tests/test_se3_jacobians.py)."""
+    sq = jnp.sum(w * w, axis=-1)[..., None, None]
+    small = sq < 1e-8
+    sq_safe = jnp.where(small, 1.0, sq)
+    t = jnp.sqrt(sq_safe)
+    rx = skew(rho)
+    wx = skew(w)
+    wxrx = wx @ rx
+    rxwx = rx @ wx
+    wxrxwx = wxrx @ wx
+    c1 = jnp.where(small, 1.0 / 6.0 - sq / 120.0, (t - jnp.sin(t)) / (sq_safe * t))
+    # (theta^2/2 + cos(theta) - 1)/theta^4  -> 1/24 - theta^2/720
+    c2 = jnp.where(
+        small, 1.0 / 24.0 - sq / 720.0, (sq / 2.0 + jnp.cos(t) - 1.0) / (sq_safe * sq_safe)
+    )
+    # (theta - sin(theta) - theta^3/6)/theta^5 -> -1/120 + theta^2/5040
+    c3 = jnp.where(
+        small,
+        -1.0 / 120.0 + sq / 5040.0,
+        (t - jnp.sin(t) - t * sq / 6.0) / (sq_safe * sq_safe * t),
+    )
+    Q = (
+        0.5 * rx
+        + c1 * (wxrx + rxwx + wxrxwx)
+        + c2 * (wx @ wxrx + rxwx @ wx - 3.0 * wxrxwx)
+        + 0.5 * (c2 + 3.0 * c3) * (wxrxwx @ wx + wx @ wxrxwx)
+    )
+    return Q
+
+
+def se3_left_jacobian(rho, w):
+    """SE(3) left Jacobian Jl6(ξ), ξ = [rho, w]: Exp(ξ + δ) ≈ Exp(Jl6 δ) Exp(ξ)."""
+    Jl = _so3_left_jacobian(w)
+    Q = _se3_Q(rho, w)
+    top = jnp.concatenate([Jl, Q], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(Q), Jl], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def se3_left_jacobian_inv(rho, w):
+    """Closed-form Jl6(ξ)^-1 via the block inverse [[Ji, -Ji Q Ji],[0, Ji]]."""
+    Ji = _so3_left_jacobian_inv(w)
+    Q = _se3_Q(rho, w)
+    top = jnp.concatenate([Ji, -(Ji @ Q @ Ji)], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(Q), Ji], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def se3_right_jacobian(rho, w):
+    """Jr6(ξ) = Jl6(-ξ): Exp(ξ + δ) ≈ Exp(ξ) Exp(Jr6 δ)."""
+    return se3_left_jacobian(-rho, -w)
+
+
+def se3_right_jacobian_inv(rho, w):
+    return se3_left_jacobian_inv(-rho, -w)
+
+
+def se3_adjoint_exp(rho, w):
+    """Ad(Exp(ξ)) for twist ordering [linear, angular]: [[R, t^ R],[0, R]]
+    with R = exp(w^), t = V(w) rho."""
+    R = quat_to_rot(exp3(w))
+    V = _so3_left_jacobian(w)
+    t = jnp.einsum("...ij,...j->...i", V, rho)
+    top = jnp.concatenate([R, skew(t) @ R], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)

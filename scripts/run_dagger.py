@@ -56,7 +56,14 @@ def main():
     out = cfg.get("save_path", f"./models/{mode}")
     os.makedirs(out, exist_ok=True)
     logger = MetricsLogger(out)
-    logs = driver.run(Solo12Config.q0(), Solo12Config.v0())
+    # elastic resume (capability the reference lacks, SURVEY.md §5.3): the
+    # full driver state snapshots every iteration; resume=true continues a
+    # killed run from the last snapshot.
+    ckpt_dir = cfg.get("checkpoint_dir", os.path.join(out, "checkpoint"))
+    resume = bool(cfg.get("resume", False))
+    logs = driver.run(
+        Solo12Config.q0(), Solo12Config.v0(), checkpoint_dir=ckpt_dir, resume=resume
+    )
     for log in logs:
         logger.log(log)
     save_policy(driver.policy, os.path.join(out, "policy"))

@@ -71,3 +71,53 @@ def test_safedagger_loop_runs(spec):
     assert driver.policy is not None
     out = driver.policy(jnp.zeros(43), jnp.zeros(5))
     assert out.shape == (12,)
+
+
+def test_safedagger_checkpoint_resume(spec, tmp_path):
+    """Elastic resume: a driver checkpoints every iteration; a fresh driver
+    resumes mid-loop with identical state (database, RNG streams, logs) and
+    completes the remaining iterations (capability the reference lacks,
+    SURVEY.md §5.3-5.4)."""
+    ckpt = str(tmp_path / "ckpt")
+    cfg = DaggerConfig(
+        episode_length=300,
+        n_iterations=1,
+        rollouts_per_iteration=2,
+        vx_range=(0.1, 0.2),
+        vy_range=(0.0, 0.0),
+        w_range=(0.0, 0.0),
+        warmup_bc_epochs=5,
+        bc=BcConfig(n_epoch=3, batch_size=128, num_hidden_layer=2, hidden_dim=64),
+    )
+    a = SafeDagger(spec, cfg, admm_cfg=FAST_ADMM, ddp_cfg=FAST_DDP, seed=7)
+    logs_a = a.run(Solo12Config.q0(), Solo12Config.v0(), checkpoint_dir=ckpt)
+    assert len(logs_a) == 1
+
+    # resume with a larger budget: iteration 0 must come from the checkpoint
+    cfg2 = DaggerConfig(**{**cfg.__dict__, "n_iterations": 2})
+    b = SafeDagger(spec, cfg2, admm_cfg=FAST_ADMM, ddp_cfg=FAST_DDP, seed=7)
+    logs_b = b.run(Solo12Config.q0(), Solo12Config.v0(), checkpoint_dir=ckpt, resume=True)
+    assert len(logs_b) == 2
+    assert logs_b[0] == logs_a[0]  # restored, not re-run
+    assert logs_b[1]["database_size"] >= logs_a[0]["database_size"]
+    assert b.policy is not None
+    assert b.policy(jnp.zeros(43), jnp.zeros(5)).shape == (12,)
+
+
+def test_locosafedagger_posterior_roundtrip(spec, tmp_path):
+    """The Bayesian posterior survives a checkpoint/restore cycle."""
+    from bunmpc_tpu.learning.dagger import LocoSafeDagger
+
+    cfg = DaggerConfig(n_iterations=1, rollouts_per_iteration=1)
+    d = LocoSafeDagger(spec, cfg, grid_n=5, seed=1)
+    d.posterior = d.posterior * 0 + np.arange(d.posterior.size).reshape(d.posterior.shape)
+    d.database.append(
+        np.zeros((4, 43), np.float32), np.zeros((4, 12), np.float32),
+        vc_goals=np.zeros((4, 5), np.float32),
+    )
+    d.save_checkpoint(str(tmp_path / "l"), 3, [{"iteration": 0}])
+    d2 = LocoSafeDagger(spec, cfg, grid_n=5, seed=99)
+    nxt, logs = d2.load_checkpoint(str(tmp_path / "l"))
+    assert nxt == 3 and logs == [{"iteration": 0}]
+    np.testing.assert_allclose(np.asarray(d2.posterior), np.asarray(d.posterior))
+    assert len(d2.database) == 4
