@@ -45,7 +45,15 @@ def main():
     )
     w_des = jnp.asarray(rng.uniform(-0.3, 0.3, size=B), dtype)
 
-    solve = jax.jit(jax.vmap(lambda q, v, t, vd, wd: KD.solve_mpc(spec, q, v, t, vd, wd)))
+    # fully-fused batched path: pallas ADMM + pallas DDP-IK kernels
+    # (falls back to the vmapped XLA path on non-TPU backends)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    backend = "pallas" if on_tpu else "xla"
+    solve = jax.jit(
+        lambda q, v, t, vd, wd: KD.solve_mpc_batch(
+            spec, q, v, t, vd, wd, admm_backend=backend, ik_backend=backend
+        )
+    )
 
     # warm-up / compile
     plans = jax.block_until_ready(solve(q, v, t, v_des, w_des))

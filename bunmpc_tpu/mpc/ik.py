@@ -108,6 +108,37 @@ def build_residual_fns(model: RobotModel, eff_frames, tasks: IkTasks):
     return stage_residuals, term_residuals, ctrl_weight
 
 
+def dense_weights(model: RobotModel, eff_frames, tasks: IkTasks):
+    """Dense residual-weight tensors in build_residual_fns' row layout —
+    the input format of the fused Pallas DDP kernel (solvers/pallas_ddp.py).
+
+    Returns (w_stage (H, nr), w_term (nrt,), ctrl_weight (H, nv),
+    x_reg (H+1, nq+nv)) with nr = 3*n_eff + 9 + 2nv, nrt = 9 + 2nv."""
+    H = tasks.ee_targets.shape[0]
+    nq, nv = model.nq, model.nv
+    dtype = tasks.ee_targets.dtype
+
+    state_wt = jnp.broadcast_to(tasks.state_wt, (H + 1, 2 * nv))
+    x_reg = jnp.broadcast_to(tasks.x_reg, (H + 1, nq + nv))
+    reg_wt_state = jnp.broadcast_to(jnp.asarray(tasks.reg_wt_state), (H + 1,))
+    reg_wt_ctrl = jnp.broadcast_to(jnp.asarray(tasks.reg_wt_ctrl), (H,))
+    ctrl_wt = jnp.broadcast_to(tasks.ctrl_wt, (H, nv))
+
+    w_ee = jnp.repeat(tasks.ee_wts, 3, axis=-1)  # (H, 3*n_eff)
+    w_com = jnp.full((H, 3), tasks.com_wt, dtype)
+    w_mom = jnp.full((H, 6), tasks.mom_wt, dtype)
+    w_sd = reg_wt_state[:H, None] * state_wt[:H]
+    w_stage = jnp.concatenate([w_ee, w_com, w_mom, w_sd], axis=-1)
+    w_term = jnp.concatenate(
+        [
+            jnp.full(3, tasks.com_wt, dtype),
+            jnp.full(6, tasks.mom_wt, dtype),
+            reg_wt_state[H] * state_wt[H],
+        ]
+    )
+    return w_stage, w_term, reg_wt_ctrl[:, None] * ctrl_wt, x_reg
+
+
 def build_jacobian_fns(model: RobotModel, eff_frames, tasks: IkTasks):
     """Structured Gauss-Newton Jacobians for the IK residual stack — the
     TPU-native replacement for brute-force tangent ``jacfwd`` over the fused

@@ -347,11 +347,29 @@ def solve(
 ):
     """Batched biconvex ADMM via the fused kernel. Returns (X, F, viol, iters).
 
-    B must be a multiple of 128 (pad externally with `parallel.mesh.pad_to_devices`
-    -style helpers if needed)."""
+    Batches that are not a multiple of the 128-lane width are zero-padded
+    internally (padding replicates row 0 so the extra lanes stay well-posed)."""
     B, H, ne = plan.cnt.shape
     Hp1 = H + 1
-    assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
+    if B % LANES != 0:
+        pad = LANES - B % LANES
+
+        def _pad(a):
+            return jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], 0)
+
+        out = solve(
+            jax.tree_util.tree_map(_pad, plan),
+            m,
+            _pad(x_init),
+            _pad(W),
+            _pad(X_ref_target),
+            _pad(W_F),
+            _pad(X_wm),
+            _pad(F_wm),
+            jax.tree_util.tree_map(_pad, x_bounds),
+            cfg,
+        )
+        return tuple(a[:B] for a in out)
     G = B // LANES
     f32 = jnp.float32
 
