@@ -69,6 +69,89 @@ def rollout_strip(result, path: str, title: str = "rollout", sim_dt: float = 0.0
     return path
 
 
+def reconstruct_q(result):
+    """Recover the full configuration trajectory (T, 19) from a
+    RolloutResult: base xy from ``base``, z + quat + joints from the state
+    featurization (states[:, 26:43] = q[2:], simulation.py:487-489)."""
+    base = np.asarray(result.base)
+    states = np.asarray(result.states)
+    return np.concatenate([base[:, 0:2], states[:, 26:43]], axis=-1)
+
+
+def render_rollout_video(
+    model,
+    result,
+    path: str,
+    fps: int = 25,
+    stride: int = 20,
+    title: str = "rollout",
+):
+    """Animated skeleton video of a rollout (GIF via PIL — the ffmpeg-less
+    twin of the reference's camera capture, simulation.py:114-132): side (xz)
+    and front (yz) projections of base + HAA->HFE->KFE->FOOT leg chains,
+    with contact markers and the base path.
+
+    ``stride`` subsamples the 1 kHz trajectory (20 -> 50 fps of sim time at
+    fps=25 -> 0.5x slow motion).
+    """
+    import io
+
+    import jax.numpy as jnp
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from PIL import Image
+
+    from ..kin import algorithms as K
+
+    legs = ["FL", "FR", "HL", "HR"]
+    chain_names = [f"{leg}_{j}" for leg in legs for j in ("HAA", "HFE", "KFE", "FOOT")]
+    qs = reconstruct_q(result)[::stride]
+    incnt = np.asarray(result.in_contact).astype(bool)[::stride]
+    # one batched FK over all sampled frames
+    pts = np.asarray(
+        K.frame_positions(model, jnp.asarray(qs), chain_names)
+    )  # (T, 16, 3)
+    base = qs[:, 0:3]
+
+    x_lo, x_hi = base[:, 0].min() - 0.35, base[:, 0].max() + 0.35
+    frames = []
+    fig, (ax_side, ax_front) = plt.subplots(1, 2, figsize=(9, 3.2), width_ratios=[2, 1])
+    for k in range(len(qs)):
+        for ax, (i, j) in ((ax_side, (0, 2)), (ax_front, (1, 2))):
+            ax.clear()
+            ax.axhline(0.0, color="0.4", lw=1.0)
+            ax.plot(base[: k + 1, i], base[: k + 1, j], "b-", lw=0.7, alpha=0.6)
+            ax.plot(base[k, i], base[k, j], "ko", ms=5)
+            for l in range(4):
+                seg = pts[k, 4 * l : 4 * l + 4]
+                ax.plot(seg[:, i], seg[:, j], "-o", color=f"C{l}", ms=2.5, lw=1.6)
+                if incnt[k, l]:
+                    ax.plot(seg[-1, i], seg[-1, j], "gs", ms=5)
+            ax.set_ylim(-0.05, 0.55)
+            ax.set_aspect("equal")
+            ax.grid(alpha=0.25)
+        ax_side.set_xlim(x_lo, x_hi)
+        ax_front.set_xlim(base[k, 1] - 0.35, base[k, 1] + 0.35)
+        ax_side.set_title(f"{title}  t={k * stride} ms", fontsize=9)
+        ax_front.set_title("front", fontsize=9)
+        fig.tight_layout()
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png", dpi=80)
+        buf.seek(0)
+        frames.append(Image.open(buf).convert("P"))
+    plt.close(fig)
+    frames[0].save(
+        path,
+        save_all=True,
+        append_images=frames[1:],
+        duration=int(1000 / fps),
+        loop=0,
+    )
+    return path
+
+
 def topdown_strip(result, path: str, n_frames: int = 8, title: str = "top-down"):
     """Top-down xy comic strip: base path + foot contact locations."""
     import matplotlib

@@ -251,14 +251,160 @@ def _stand():
     )
 
 
+def _hifive():
+    """Hind-leg rear into a front-paw "hifive" hop (reference plan_hifive.py:21-103)."""
+    st, rear, jt, T = 0.5, 0.4, 0.10, 1.4
+    dt = 0.05
+    n_col = 25
+    t1 = st + rear  # front feet leave
+    t2 = t1 + jt  # full flight ends
+    state_wt_1 = np.array(
+        [1e-2, 1e-2, 1e-2] + [0, 0, 1.0] + 2 * [1e-3, 1e-3, 1e-3] + 2 * [1e1, 5e1, 5e1]
+        + 3 * [0.0] + [0, 0, 1.0] + [0.5] * _NJ
+    )
+    state_wt_2 = np.array(
+        [1e-2, 1e-2, 1e2] + [1e2, 1e2, 1e2] + 4 * [1e1, 1e2, 1e2]
+        + [0.0, 0.0, 0.0] + [5.0, 5.0, 5.0] + 4 * [3.5, 3.5, 3.5]
+    )
+    ctrl_wt = np.array([0, 0, 10] + [1, 1, 1] + [10.0] * _NJ)
+    return ACyclicMotionParams(
+        robot_name="solo12",
+        motion_name="hifive",
+        n_col=n_col,
+        dt_arr=np.full(n_col, dt),
+        plan_freq=[[1.4, 0, st], [1.4, st, t2], [0.05, t2, T]],
+        cnt_plan=[
+            [[1.0, 0.3946, 0.14695, 0.0, 0.0, st], [1.0, 0.3946, -0.14695, 0.0, 0.0, st],
+             [1.0, 0.0054, 0.14695, 0.0, 0.0, st], [1.0, 0.0054, -0.14695, 0.0, 0.0, st]],
+            [[0.0, 0.3946, 0.14695, 0.0, st, t1], [0.0, 0.3946, -0.14695, 0.0, st, t1],
+             [1.0, 0.0054, 0.14695, 0.0, st, t1], [1.0, 0.0054, -0.14695, 0.0, st, t1]],
+            [[0.0, 0.3946, 0.14695, 0.0, t1, t2], [0.0, 0.3946, -0.14695, 0.0, t1, t2],
+             [0.0, 0.0054, 0.14695, 0.0, t1, t2], [0.0, 0.0054, -0.14695, 0.0, t1, t2]],
+            [[1.0, 0.41, 0.14695, 0.0, t2, T], [1.0, 0.41, -0.14695, 0.0, t2, T],
+             [1.0, -0.0054, 0.14695, 0.0, t2, T], [1.0, -0.0054, -0.14695, 0.0, t2, T]],
+        ],
+        W_X=np.array([1e3, 1e1, 1e2, 1e-4, 1e-4, 1e-4, 1e2, 5e3, 1e2]),
+        W_X_ter=10 * np.array([1e3, 1e1, 1e5, 1e-1, 1e-1, 1e-1, 1e2, 1e4, 1e2]),
+        W_F=np.array(4 * [1e1, 1e1, 5e-1]),
+        X_nom=[
+            [0.2, 0, 0.22, 0, 0, 0, 0, -0.05, 0.0, 0.0, st],
+            [0.18, 0, 0.28, 0, 0, 0, 0, -0.45, 0.0, st, t1],
+            [0.18, 0, 0.32, 0, 0, 0, 0, 0.0, 0.0, t1, t2],
+            [0.2, 0, 0.22, 0, 0, 0, 0, 0.0, 0.0, t2, T],
+        ],
+        X_ter=np.array([0.2, 0, 0.22, 0, 0, 0, 0, 0.0, 0.0]),
+        rho=5e4,
+        bounds=[[-0.25, -0.25, 0.1, 0.25, 0.25, 0.25, 0, st],
+                [-0.25, -0.25, 0.1, 0.25, 0.25, 0.4, st, t1],
+                [-0.25, -0.25, 0.1, 0.25, 0.25, 0.25, t1, T]],
+        swing_wt=[
+            [
+                [0e2, 0.55, 0.14695, 0.7, st + 0.4 * rear, st + 0.5 * rear],
+                [0e2, 0.55, -0.14695, 0.7, st + 0.4 * rear, st + 0.5 * rear],
+                [0.0, 0.0054, 0.14695, 0.0, st + 0.25 * rear, st + 0.5 * rear],
+                [0.0, 0.0054, -0.14695, 0.0, st + 0.25 * rear, st + 0.5 * rear],
+            ]
+        ],
+        cent_wt=(1e1, 1e2),
+        cnt_wt=1e4,
+        state_wt=[np.hstack((state_wt_1, [0, t1])), np.hstack((state_wt_2, [t1, T]))],
+        state_reg=[np.hstack((_X0, [0, t1])), np.hstack((_X0, [t1, T]))],
+        state_scale=[[1e-2, 0, t1], [1e-2, t1, T]],
+        ctrl_wt=[np.hstack((ctrl_wt, [0, T]))],
+        ctrl_reg=[np.hstack((np.zeros(_NV), [0, T]))],
+        ctrl_scale=[[5e-4, 0, T]],
+        kp=[[2.0, 0, T]],
+        kd=[[0.1, 0, T]],
+    )
+
+
+def _rearing_jump():
+    """Rear onto the hind legs, then a full jump (reference rearing_jump.py:22-105)."""
+    st, rear, jt, T = 0.5, 0.4, 0.4, 1.4
+    dt = 0.05
+    n_col = 20
+    t1 = st + rear
+    t2 = t1 + jt
+    state_wt_1 = np.array(
+        [1e-2, 1e-2, 1e-2] + [0, 0, 1.0] + 2 * [1e-3, 1e-3, 1e-3] + 2 * [1e1, 5e1, 5e1]
+        + 3 * [0.0] + [0, 0, 1.0] + [0.5] * _NJ
+    )
+    state_wt_2 = np.array(
+        [1e-2, 1e-2, 1e2] + [1e2, 1e2, 1e2] + 4 * [1e1, 1e2, 1e2]
+        + [0.0, 0.0, 0.0] + [5.0, 5.0, 5.0] + 4 * [3.5, 3.5, 3.5]
+    )
+    ctrl_wt = np.array([0, 0, 10] + [1, 1, 1] + [10.0] * _NJ)
+    return ACyclicMotionParams(
+        robot_name="solo12",
+        motion_name="rearing_jump",
+        n_col=n_col,
+        dt_arr=np.full(n_col, dt),
+        plan_freq=[[0.4, 0, t1], [0.4, t1, T]],
+        cnt_plan=[
+            [[1.0, 0.3946, 0.14695, 0.0, 0.0, st], [1.0, 0.3946, -0.14695, 0.0, 0.0, st],
+             [1.0, 0.0054, 0.14695, 0.0, 0.0, st], [1.0, 0.0054, -0.14695, 0.0, 0.0, st]],
+            [[0.0, 0.3946, 0.14695, 0.0, st, t1], [0.0, 0.3946, -0.14695, 0.0, st, t1],
+             [1.0, 0.0054, 0.14695, 0.0, st, t1], [1.0, 0.0054, -0.14695, 0.0, st, t1]],
+            [[0.0, 0.3946, 0.14695, 0.0, t1, t2], [0.0, 0.3946, -0.14695, 0.0, t1, t2],
+             [0.0, 0.0054, 0.14695, 0.0, t1, t2], [0.0, 0.0054, -0.14695, 0.0, t1, t2]],
+            [[1.0, 0.41, 0.14695, 0.0, t2, T], [1.0, 0.41, -0.14695, 0.0, t2, T],
+             [1.0, 0.0054, 0.14695, 0.0, t2, T], [1.0, 0.0054, -0.14695, 0.0, t2, T]],
+        ],
+        W_X=np.array([1e3, 1e1, 1e5, 1e-4, 1e-4, 1e-4, 1e2, 5e3, 1e2]),
+        W_X_ter=10 * np.array([1e3, 1e1, 1e5, 1e-1, 1e-1, 1e-1, 1e2, 1e4, 1e2]),
+        W_F=np.array(4 * [1e1, 1e1, 1e0]),
+        X_nom=[
+            [0.2, 0, 0.22, 0, 0, 0, 0, -0.05, 0.0, 0.0, st],
+            [0.18, 0, 0.28, 0, 0, 0, 0, -0.45, 0.0, st, t1],
+            [0.23, 0, 0.30, 0, 0, 0, 0, 0.0, 0.0, t1, t2],
+            [0.23, 0, 0.22, 0, 0, 0, 0, 0.0, 0.0, t2, T],
+        ],
+        X_ter=np.array([0.2, 0, 0.22, 0, 0, 0, 0, 0.0, 0.0]),
+        rho=5e4,
+        # reference lists overlapping windows ([st,t1] then [st,t2]); with
+        # last-match semantics (abstract_acyclic_gen.py:173-175, no break) the
+        # wide window wins over [st,t1] — encoded here in the same order.
+        bounds=[[-0.25, -0.25, 0.1, 0.25, 0.25, 0.25, 0, st],
+                [-0.25, -0.25, 0.1, 0.25, 0.25, 0.4, st, t1],
+                [-100.0, -100.0, 0.0, 100.0, 100.0, 0.7, st, t2],
+                [-0.25, -0.25, 0.1, 0.25, 0.25, 0.25, t2, T]],
+        swing_wt=[
+            [
+                [1e2, 0.4, 0.14695, 0.6, st + 0.25 * rear, st + 0.5 * rear],
+                [1e2, 0.4, -0.14695, 0.3, st + 0.25 * rear, st + rear],
+                [0.0, 0.0054, 0.14695, 0.0, st + 0.25 * rear, st + 0.5 * rear],
+                [0.0, 0.0054, -0.14695, 0.0, st + 0.25 * rear, st + 0.5 * rear],
+            ]
+        ],
+        cent_wt=(1e1, 5e1),
+        cnt_wt=1e2,
+        state_wt=[
+            np.hstack((state_wt_1, [0, t1])),
+            np.hstack((state_wt_1, [t1, t2])),
+            np.hstack((state_wt_2, [t2, T])),
+        ],
+        state_reg=[np.hstack((_X0, [0, t1])), np.hstack((_X0, [t1, T]))],
+        state_scale=[[1e-2, 0, t1], [1e-2, t1, T]],
+        ctrl_wt=[np.hstack((ctrl_wt, [0, T]))],
+        ctrl_reg=[np.hstack((np.zeros(_NV), [0, T]))],
+        ctrl_scale=[[5e-4, 0, T]],
+        kp=[[2.0, 0, T]],
+        kd=[[0.1, 0, T]],
+    )
+
+
 jump_fwd = _jump()
 cartwheel = _cartwheel()
 rearing = _rearing()
 stand = _stand()
+hifive = _hifive()
+rearing_jump = _rearing_jump()
 
 MOTIONS = {
     "jump_fwd": jump_fwd,
     "cartwheel": cartwheel,
     "rearing": rearing,
     "stand": stand,
+    "hifive": hifive,
+    "rearing_jump": rearing_jump,
 }

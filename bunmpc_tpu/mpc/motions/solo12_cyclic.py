@@ -123,4 +123,93 @@ bound = BiconvexMotionParams(
 )
 
 
-GAITS = {"trot": trot, "trot_turn": trot_turn, "jump": jump, "bound": bound}
+# Stand-still / gallop / walk gaits (reference examples/motions/cyclic/
+# solo12_wip.py:13-113; that file's stray `plan.sim_dt` line references an
+# undefined name and is not reproduced).
+still = BiconvexMotionParams(
+    robot_name="solo12",
+    motion_name="still",
+    gait_period=0.5,
+    stance_percent=(1.0, 1.0, 1.0, 1.0),
+    gait_dt=0.05,
+    phase_offset=(0.0, 0.4, 0.4, 0.0),
+    step_ht=0.13,
+    state_wt=_state_wt([0.0, 0.0, 10.0], [1000.0] * 3, 1.0, [0.0] * 3, [100.0] * 3, 0.5),
+    ctrl_wt=np.array([0.0, 0.0, 1000.0] + [5e2] * 3 + [1.0] * _NJ),
+    swing_wt=(1e4, 1e4),
+    cent_wt=(0.0, 5e2),
+    reg_wt=(5e-2, 1e-5),
+    W_X=np.array([1e-5, 1e-5, 1e5, 1e1, 1e1, 2e2, 1e4, 1e4, 1e4]),
+    W_X_ter=10.0 * np.array([1e5, 1e5, 1e5, 1e1, 1e1, 2e2, 1e5, 1e5, 1e5]),
+    W_F=np.array([1e1, 1e1, 1e1] * 4),
+    rho=5e4,
+    ori_correction=(0.4, 0.5, 0.4),
+    gait_horizon=2.0,
+    nom_ht=0.26,
+    kp=3.0,
+    kd=0.1,
+)
+
+
+gallop = BiconvexMotionParams(
+    robot_name="solo12",
+    motion_name="gallop",
+    gait_period=0.5,
+    stance_percent=(0.35, 0.35, 0.35, 0.35),
+    gait_dt=0.05,
+    phase_offset=(0.0, 0.80, 0.70, 0.5),
+    step_ht=0.08,
+    state_wt=np.array(
+        [0.0, 0.0, 10.0] + [5000.0] * 3 + [0.0, 60.0, 60.0] * 4
+        + [0.0, 0.0, 0.0] + [1000.0] * 3 + [30.0, 30.0, 30.0] * 4
+    ),
+    ctrl_wt=np.array([0.0, 0.0, 1000.0] + [5e2] * 3 + [1.0] * _NJ),
+    swing_wt=(1e4, 1e4),
+    cent_wt=(5e3, 5e3),
+    reg_wt=(5e-2, 1e-5),
+    W_X=np.array([1e-5, 1e-5, 1e5, 1e1, 1e1, 2e2, 1e5, 1e5, 1e5]),
+    W_X_ter=10.0 * np.array([1e5, 1e5, 1e5, 1e1, 1e1, 2e2, 1e5, 1e5, 1e5]),
+    W_F=np.array([1e1, 1e1, 1e1] * 4),
+    rho=5e4,
+    ori_correction=(0.6, 0.6, 0.4),
+    gait_horizon=2.0,
+    nom_ht=0.26,
+    kp=3.5,
+    kd=0.1,
+)
+
+
+walk = BiconvexMotionParams(
+    robot_name="solo12",
+    motion_name="walk",
+    gait_period=0.6,
+    stance_percent=(0.8, 0.8, 0.8, 0.8),
+    gait_dt=0.05,
+    phase_offset=(0.6, 0.0, 0.2, 0.8),
+    step_ht=0.05,
+    state_wt=_state_wt([0.0, 0.0, 1000.0], [1e3] * 3, 0.5, [0.0] * 3, [50.0] * 3, 1e-2),
+    ctrl_wt=np.array([1.0, 1.0, 10.0] + [10.0, 10.0, 20.0] + [5e-3] * _NJ),
+    swing_wt=(1e4, 1e4),
+    cent_wt=(5e1, 5e2),
+    reg_wt=(5e-3, 7e-3),
+    W_X=np.array([1e-5, 1e-5, 1e5, 1e2, 1e2, 1e2, 5e3, 5e3, 5e3]),
+    W_X_ter=10.0 * np.array([1e-5, 1e-5, 1e5, 1e2, 1e2, 1e2, 1e3, 1e3, 1e3]),
+    W_F=np.array([1e1, 1e1, 1e1] * 4),
+    rho=5e4,
+    ori_correction=(0.2, 0.4, 0.5),
+    gait_horizon=0.5,
+    nom_ht=0.24,
+    kp=3.5,
+    kd=0.15,
+)
+
+
+GAITS = {
+    "trot": trot,
+    "trot_turn": trot_turn,
+    "jump": jump,
+    "bound": bound,
+    "still": still,
+    "gallop": gallop,
+    "walk": walk,
+}

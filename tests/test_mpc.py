@@ -11,7 +11,7 @@ import pytest
 
 from bunmpc_tpu.mpc import gait as G
 from bunmpc_tpu.mpc import kino_dyn as KD
-from bunmpc_tpu.mpc.motions.solo12_cyclic import trot
+from bunmpc_tpu.mpc.motions.solo12_cyclic import GAITS, trot, walk
 from bunmpc_tpu.robots.solo12 import Solo12Config
 
 
@@ -157,3 +157,31 @@ def test_mpc_vmap_batch(spec):
     np.testing.assert_allclose(
         np.asarray(plans.X_opt[1]), np.asarray(single.X_opt), atol=1e-8
     )
+
+
+def test_all_gait_specs_build():
+    """Every registered gait (incl. still/gallop/walk from solo12_wip.py)
+    yields a consistent spec: horizon math and weight table shapes."""
+    model = Solo12Config.load_model()
+    q0 = Solo12Config.q0()
+    for name, g in GAITS.items():
+        spec = KD.make_cyclic_spec(model, g, q0)
+        assert g.horizon == int(np.round(g.gait_horizon * g.gait_period / g.gait_dt, 2)), name
+        assert g.state_wt.shape == (36,), name
+        assert g.ctrl_wt.shape == (18,), name
+        assert g.W_X.shape == (9,) and g.W_F.shape == (12,), name
+        assert spec is not None
+
+
+def test_walk_gait_solves():
+    """The short-horizon walk gait (6 knots, gait_horizon 0.5) solves and
+    keeps the CoM near its nominal height."""
+    model = Solo12Config.load_model()
+    spec = KD.make_cyclic_spec(model, walk, Solo12Config.q0())
+    q = jnp.asarray(Solo12Config.q0())
+    plan = jax.jit(lambda q, v, t, vd, wd: KD.solve_mpc(spec, q, v, t, vd, wd))(
+        q, jnp.zeros(18), jnp.asarray(0.0), jnp.asarray([0.15, 0.0, 0.0]), jnp.asarray(0.0)
+    )
+    assert float(plan.dyn_violation) < 1e-2
+    X = np.asarray(plan.X_opt)
+    assert np.all(np.abs(X[:, 2] - walk.nom_ht) < 0.08)
