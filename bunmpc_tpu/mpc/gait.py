@@ -102,11 +102,18 @@ def create_cnt_plan(
     com,  # (..., 3) current CoM (world)
     ee_pos,  # (..., n_eff, 3) current foot positions (world)
     noise_xy=None,  # optional (..., H, n_eff, 2) touchdown-location noise
+    terrain=None,  # optional sim.physics.Terrain (uneven-ground planning)
+    terrain_offset=None,  # (..., 2) world xy of the plan origin (q is origin-reset)
 ):
     """Build the dense contact plan (ContactPlan + swing-via mask).
 
     Returns ``(plan, swing_mask)`` where ``swing_mask`` marks knots where the
     step-height via cost applies in the IK (abstract_cyclic_gen.py:366-368).
+
+    With ``terrain`` set, touchdown/swing heights come from the heightfield at
+    the planned xy (the reference plans flat ground only; its terrain
+    generator is broken, pybullet_env.py:154-201). The plan frame is
+    origin-reset, so ``terrain_offset`` maps plan xy back to world xy.
     """
     ne = planner.hip_offsets.shape[0]
     dtype = q.dtype
@@ -147,11 +154,17 @@ def create_cnt_plan(
     swing_early_xy = hip_xy + ang_step[..., None, None, :]
     swing_late_xy = touchdown_xy
 
-    z_td = jnp.full(touchdown_xy.shape[:-1], planner.foot_size, dtype)
+    if terrain is None:
+        z_td = jnp.full(touchdown_xy.shape[:-1], planner.foot_size, dtype)
+        z_sw_early = z_td
+    else:
+        off = 0.0 if terrain_offset is None else terrain_offset[..., None, None, :]
+        z_td = terrain.height_at(touchdown_xy + off) + planner.foot_size
+        z_sw_early = terrain.height_at(swing_early_xy + off) + planner.foot_size
     touchdown = jnp.concatenate([touchdown_xy, z_td[..., None]], axis=-1)  # (..., H, ne, 3)
     swing_loc = jnp.where(
         (per_ph < 0.5)[..., None],
-        jnp.concatenate([swing_early_xy, z_td[..., None]], axis=-1),
+        jnp.concatenate([swing_early_xy, z_sw_early[..., None]], axis=-1),
         jnp.concatenate([swing_late_xy, z_td[..., None]], axis=-1),
     )
 

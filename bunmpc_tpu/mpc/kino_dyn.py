@@ -151,7 +151,7 @@ def _interp_1khz(spec: CyclicMpcSpec, dts, knots):
     return knots[k] * (1 - w[:, None]) + knots[k + 1] * w[:, None]
 
 
-def _prepare_problem(spec: CyclicMpcSpec, q, v, t, v_des, w_des, noise_xy=None):
+def _prepare_problem(spec: CyclicMpcSpec, q, v, t, v_des, w_des, noise_xy=None, terrain=None):
     """Single-sample problem assembly: contact plan + dynamics costs + warm
     starts (abstract_cyclic_gen.py create_cnt_plan/create_costs)."""
     p = spec.params
@@ -159,7 +159,9 @@ def _prepare_problem(spec: CyclicMpcSpec, q, v, t, v_des, w_des, noise_xy=None):
     dtype = q.dtype
     H = spec.horizon
 
-    # origin reset (abstract_cyclic_gen.py:632-633)
+    # origin reset (abstract_cyclic_gen.py:632-633); the pre-reset world xy
+    # maps plan coordinates back onto the (world-frame) terrain heightfield
+    xy_world = q[0:2]
     q = q.at[0:2].set(0.0)
     t = jnp.asarray(t, dtype)  # guard against x64 time arithmetic upstream
     Rfull = Q.quat_to_rot(q[3:7])
@@ -171,7 +173,8 @@ def _prepare_problem(spec: CyclicMpcSpec, q, v, t, v_des, w_des, noise_xy=None):
 
     ee_pos = K.frame_positions(spec.model, q, spec.eff_frames)
     plan, swing_mask = G.create_cnt_plan(
-        spec.gait, spec.planner, H, q, t, v_des_w, w_des, com, ee_pos, noise_xy=noise_xy
+        spec.gait, spec.planner, H, q, t, v_des_w, w_des, com, ee_pos,
+        noise_xy=noise_xy, terrain=terrain, terrain_offset=xy_world,
     )
 
     # --- dynamics costs (create_costs, abstract_cyclic_gen.py:564-614) ---
@@ -179,9 +182,12 @@ def _prepare_problem(spec: CyclicMpcSpec, q, v, t, v_des, w_des, noise_xy=None):
     xy_nom = x_init[0:2] + jnp.cumsum(
         v_des_w[None, 0:2] * dt_arr[:, None], axis=0
     ) - v_des_w[0:2] * dt_arr[0]  # knot 0 anchors at the current CoM
+    # nominal height rides the local ground under the planned CoM path when a
+    # terrain heightfield is given (flat ground: identical to the reference)
+    ground_nom = 0.0 if terrain is None else terrain.height_at(xy_nom + xy_world)
     X_nom = jnp.zeros((H, 9), dtype)
     X_nom = X_nom.at[:, 0:2].set(xy_nom)
-    X_nom = X_nom.at[:, 2].set(p.nom_ht)
+    X_nom = X_nom.at[:, 2].set(p.nom_ht + ground_nom)
     X_nom = X_nom.at[:, 3:6].set(v_des_w)
 
     # orientation-correction angular momentum (:584-607, :616-627)
@@ -197,7 +203,8 @@ def _prepare_problem(spec: CyclicMpcSpec, q, v, t, v_des, w_des, noise_xy=None):
 
     X_ter = jnp.zeros(9, dtype)
     X_ter = X_ter.at[0:2].set(x_init[0:2] + (p.gait_horizon * p.gait_period * v_des_w)[0:2])
-    X_ter = X_ter.at[2].set(p.nom_ht)
+    ground_ter = 0.0 if terrain is None else terrain.height_at(X_ter[0:2] + xy_world)
+    X_ter = X_ter.at[2].set(p.nom_ht + ground_ter)
     X_ter = X_ter.at[3:6].set(v_des_w)
     X_ter = X_ter.at[6:8].set(amom[0:2])
     X_ter = X_ter.at[8].set(jnp.where(w_des == 0.0, amom[2], yaw_mom))
@@ -241,7 +248,11 @@ def _build_ik_tasks(spec: CyclicMpcSpec, prob, dyn_X):
     # swing/contact foot tasks (abstract_cyclic_gen.py:545-554)
     cnt_ik = plan.cnt[:ik_h]
     ee_targets = plan.r[:ik_h]
-    via_targets = ee_targets.at[..., 2].set(p.step_ht)
+    # via height is ground-relative: plan z = local ground + foot_size, so
+    # (z - foot_size) + step_ht reduces to step_ht on flat ground (reference
+    # semantics) and follows the heightfield on uneven terrain
+    via_z = ee_targets[..., 2] - spec.planner.foot_size + p.step_ht
+    via_targets = ee_targets.at[..., 2].set(via_z)
     is_via = swing_mask[:ik_h] & (cnt_ik == 0)
     ee_targets = jnp.where(is_via[..., None], via_targets, ee_targets)
     ee_wts = jnp.where(
@@ -314,12 +325,13 @@ def solve_mpc(
     admm_cfg: biconvex.BiconvexConfig | None = None,
     ddp_cfg: ddp.DdpConfig = ddp.DdpConfig(),
     noise_xy=None,  # optional (H, n_eff, 2) contact-location noise
+    terrain=None,  # optional sim.physics.Terrain: uneven-ground planning
 ) -> MpcPlan:
     """One full kino-dynamic MPC solve (single sample; vmap for batches)."""
     p = spec.params
     if admm_cfg is None:
         admm_cfg = biconvex.BiconvexConfig(rho=p.rho)
-    prob = _prepare_problem(spec, q, v, t, v_des, w_des, noise_xy=noise_xy)
+    prob = _prepare_problem(spec, q, v, t, v_des, w_des, noise_xy=noise_xy, terrain=terrain)
     H = spec.horizon
     dtype = q.dtype
     dyn = biconvex.solve(

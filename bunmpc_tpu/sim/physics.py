@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve
 
 from ..kin import algorithms as K
 from ..robots.model import RobotModel
@@ -174,12 +175,19 @@ def step(
 
     M = K.mass_matrix(model, q)
     bias = K.nonlinear_effects(model, q, v)
-    Minv_tau = jnp.linalg.solve(M, (tau - bias)[..., None])[..., 0]
+    # M is SPD: one Cholesky factorization serves both M^-1(tau-bias) and
+    # M^-1 J^T (vs two independent LU factorizations)
+    L = jnp.linalg.cholesky(M)
+    rhs = jnp.concatenate(
+        [(tau - bias)[..., None], jnp.swapaxes(J, -1, -2)], axis=-1
+    )  # (..., nv, 1+3ne)
+    sol = cho_solve((L, True), rhs)
+    Minv_tau = sol[..., 0]
     v_free = v + dt * Minv_tau
     u_free = jnp.einsum("...cv,...v->...c", J, v_free)  # (..., 3ne)
 
     # implicit contact solve: (I + dt D G) f = k - D u_free, rows masked by activity
-    MinvJT = jnp.linalg.solve(M, jnp.swapaxes(J, -1, -2))  # (..., nv, 3ne)
+    MinvJT = sol[..., 1:]  # (..., nv, 3ne)
     G = jnp.einsum("...cv,...vd->...cd", J, MinvJT)  # (..., 3ne, 3ne)
     d_gains = jnp.tile(jnp.asarray([cp.kt, cp.kt, cp.dn], q.dtype), ne)
     act3 = jnp.repeat(active, 3, axis=-1)

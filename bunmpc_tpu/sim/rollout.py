@@ -198,6 +198,7 @@ def rollout_mpc(
             jnp.round(sim_t, 3),
             v_des,
             w_des,
+            terrain=terrain,  # terrain-aware touchdown/height planning
             **kwargs,
         )
         mpc_bad = jnp.any(jnp.isnan(plan.f_int)) | jnp.any(jnp.isnan(plan.xs_int))
