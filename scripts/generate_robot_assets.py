@@ -32,6 +32,14 @@ def main():
     out = os.path.join(ASSETS, "go2_model.npz")
     save_model(go2, out)
     print(f"wrote {out}: {go2.n_joints} joints, mass {go2.total_mass:.4f} kg")
+    # Solo8 is likewise built from its xacro constants (no pre-generated URDF
+    # in the reference snapshot) — see bunmpc_tpu/robots/solo8.py
+    from bunmpc_tpu.robots.solo8 import build_solo8_model
+
+    solo8 = build_solo8_model()
+    out = os.path.join(ASSETS, "solo8_model.npz")
+    save_model(solo8, out)
+    print(f"wrote {out}: {solo8.n_joints} joints, mass {solo8.total_mass:.4f} kg")
     for name, urdf in SOURCES.items():
         if not os.path.exists(urdf):
             print(f"skip {name}: source {urdf} not present")

@@ -69,7 +69,7 @@ def main():
     admm_j = jax.jit(admm)
     dt_admm, (X, F, viol, iters) = timeit(admm_j, prob)
 
-    # (c) IK from fixed dynamics solution
+    # (c) IK from fixed dynamics solution — XLA (vmapped DDP) vs pallas kernel
     def ik_only(prob, X, F, viol, iters):
         return jax.vmap(
             lambda prob, X, F, viol, iters: KD._finish_solve(
@@ -80,16 +80,35 @@ def main():
     ik_j = jax.jit(ik_only)
     dt_ik, _ = timeit(ik_j, prob, X, F, viol, iters)
 
+    dt_ik_pallas = float("nan")
+    if jax.devices()[0].platform == "tpu":
+        from bunmpc_tpu.mpc import ik as IKmod
+        from bunmpc_tpu.solvers import pallas_ddp
+
+        def ik_pallas(prob, X):
+            def build_one(pr, Xi):
+                tk, x0 = KD._build_ik_tasks(spec, pr, Xi)
+                ws, wt_, cw, xr = IKmod.dense_weights(spec.model, spec.eff_frames, tk)
+                return x0, tk.ee_targets, tk.com_ref, tk.mom_ref, xr, ws, wt_, cw, tk.dts
+
+            args = jax.vmap(build_one)(prob, X)
+            return pallas_ddp.solve_ik_batch(
+                spec.model, spec.eff_frames, *args, cfg=pallas_ddp.PallasDdpConfig()
+            )
+
+        dt_ik_pallas, _ = timeit(jax.jit(ik_pallas), prob, X)
+
     # (d) full fused batch solve
     full = jax.jit(lambda q, v, t, vd, wd: KD.solve_mpc_batch(spec, q, v, t, vd, wd))
     dt_full, plans = timeit(full, q, v, t, v_des, w_des)
     ok = float(jnp.mean((plans.dyn_violation < 1e-2).astype(jnp.float32)))
 
     print(f"B={B}")
-    print(f"prep : {dt_prep*1e3:8.2f} ms")
-    print(f"admm : {dt_admm*1e3:8.2f} ms")
-    print(f"ik   : {dt_ik*1e3:8.2f} ms")
-    print(f"full : {dt_full*1e3:8.2f} ms  ({B/dt_full:.0f} solves/s, conv={ok:.2f})")
+    print(f"prep      : {dt_prep*1e3:8.2f} ms")
+    print(f"admm      : {dt_admm*1e3:8.2f} ms")
+    print(f"ik (xla)  : {dt_ik*1e3:8.2f} ms")
+    print(f"ik (pallas): {dt_ik_pallas*1e3:7.2f} ms")
+    print(f"full      : {dt_full*1e3:8.2f} ms  ({B/dt_full:.0f} solves/s, conv={ok:.2f})")
 
 
 if __name__ == "__main__":
