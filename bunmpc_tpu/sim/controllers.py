@@ -9,15 +9,22 @@ feedback. Pure function, broadcasts over batches, fuses into the rollout scan.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 
 from ..kin import algorithms as K
 from ..robots.model import RobotModel
 
 
+@partial(
+    jax.tree_util.register_dataclass, data_fields=["kp", "kd"], meta_fields=[]
+)
 @dataclasses.dataclass(frozen=True)
 class IdControllerGains:
+    """Pytree: gains can be traced/vmapped (per-episode gain randomization)."""
+
     kp: float
     kd: float
 

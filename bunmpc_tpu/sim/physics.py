@@ -38,8 +38,18 @@ from ..robots.model import RobotModel
 from ..utils.quat import quat_to_rot
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["foot_radius", "kn", "dn", "mu", "kt"],
+    meta_fields=[],
+)
 @dataclasses.dataclass(frozen=True)
 class ContactParams:
+    """Registered as a pytree so physics parameters can be *traced*: vmapping
+    over a batch of ContactParams runs parallel simulations with different
+    ground properties (batched domain randomization — not possible in the
+    reference's one-PyBullet-server-per-process architecture)."""
+
     foot_radius: float = 0.018  # collision sphere radius (solo12 foot_size)
     kn: float = 4e3  # normal stiffness [N/m] (~1.5 mm static penetration)
     dn: float = 300.0  # normal damping [N s/m] (implicit -> unconditionally stable)
@@ -103,8 +113,16 @@ def random_terrain(key, extent: float = 4.0, cell: float = 0.05, amplitude: floa
     return Terrain(heights=h, origin=(-extent, -extent), cell=cell)
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["contact", "joint_damping", "torque_limit"],
+    meta_fields=["dt"],
+)
 @dataclasses.dataclass(frozen=True)
 class SimParams:
+    """Pytree (dt static): vmap over SimParams batches = parallel sims with
+    randomized physics (see ContactParams)."""
+
     dt: float = 0.001
     contact: ContactParams = ContactParams()
     joint_damping: float = 0.02  # motor/transmission damping

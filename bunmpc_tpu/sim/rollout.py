@@ -169,17 +169,21 @@ def rollout_mpc(
     v_noise=None,  # optional (nv,) constant sensor bias on measured v
     admm_cfg=None,
     ddp_cfg=None,
+    gains: controllers.IdControllerGains | None = None,  # PD override (vmappable)
 ) -> RolloutResult:
     """MPC expert rollout (reference Simulation.rollout_mpc, simulation.py:340).
 
-    Single sample; vmap over (state0, v_des, w_des) for batches. Sensor noise
-    follows the reference's scheme (simulation.py:56-61,471-477): a constant
-    per-episode bias added to the *measured* state the controller sees, while
-    the physics integrates the true state.
+    Single sample; vmap over (state0, v_des, w_des) for batches — and, since
+    ``gains``/``sim_params`` are pytrees, over gain/physics batches too
+    (domain randomization). Sensor noise follows the reference's scheme
+    (simulation.py:56-61,471-477): a constant per-episode bias added to the
+    *measured* state the controller sees, while the physics integrates the
+    true state.
     """
     model = spec.model
     eff = spec.eff_frames
-    gains = controllers.IdControllerGains(kp=spec.params.kp, kd=spec.params.kd)
+    if gains is None:
+        gains = controllers.IdControllerGains(kp=spec.params.kp, kd=spec.params.kd)
     spp = cfg.steps_per_plan
     kwargs = {}
     if admm_cfg is not None:
