@@ -35,7 +35,7 @@ _BASE = dict(
     I=np.diag([0.00578574, 0.01938108, 0.02476124]),
 )
 # left-side link inertials (leg.xacro upper/lower leg blocks); the right side
-# mirrors com y (and the x-products of inertia) via _mirror below
+# mirrors com x/y (and the xz/yz products of inertia) via _mirror below
 _UPPER = dict(
     mass=0.14737324,
     com=np.array([0.00001530, 0.01767640, -0.07838230]),
@@ -64,9 +64,9 @@ _LEGS = [("FL", 1, 1), ("FR", 1, -1), ("HL", -1, 1), ("HR", -1, -1)]
 
 
 def _mirror(base: dict, side: int):
-    """Right legs mirror the left-side inertial across the xz-plane: com y and
-    the xy/yz inertia products flip sign (x-com also flips in the reference
-    leg.xacro upper-leg block; it is 15 µm and kept for exactness)."""
+    """Right legs mirror the left-side inertial: com x/y and the xz/yz
+    inertia products flip sign (a 180-deg yaw of the left-side inertial,
+    matching leg.xacro's right-side blocks; Ixy is untouched)."""
     com = base["com"] * np.array([side, side, 1.0])
     signs = np.array([[1, 1, side], [1, 1, side], [side, side, 1]])
     return base["mass"], com, base["I"] * signs

@@ -57,9 +57,18 @@ def test_solo8_symmetry(model):
     """Left/right and front/hind mirrored feet at the symmetric q0."""
     q0 = jnp.asarray(_standing_q0())
     feet = np.asarray(K.frame_positions(model, q0, Solo8Config.eff_names))
-    # FL vs FR mirror in y
-    np.testing.assert_allclose(feet[0, [0, 2]], feet[1, [0, 2]], atol=1e-9)
-    np.testing.assert_allclose(feet[0, 1], -feet[1, 1], atol=1e-9)
+    # FL vs FR and HL vs HR mirror in y (eff_names order: FL, FR, HL, HR)
+    for l, r in ((0, 1), (2, 3)):
+        np.testing.assert_allclose(feet[l, [0, 2]], feet[r, [0, 2]], atol=1e-9)
+        np.testing.assert_allclose(feet[l, 1], -feet[r, 1], atol=1e-9)
+    # front/hind symmetry: every foot sits at the same offset from its own
+    # hip (hips are x-mirrored; q0 uses the same joint pose for all legs)
+    hips = np.asarray(K.frame_positions(model, q0, Solo8Config.hip_names))
+    rel = feet - hips
+    flip_y = np.array([1.0, -1.0, 1.0])
+    np.testing.assert_allclose(rel[0], rel[2], atol=1e-9)           # FL vs HL
+    np.testing.assert_allclose(rel[0], rel[1] * flip_y, atol=1e-9)  # FL vs FR
+    np.testing.assert_allclose(rel[2], rel[3] * flip_y, atol=1e-9)  # HL vs HR
     # feet on the ground at the standing pose
     np.testing.assert_allclose(feet[:, 2], Solo8Config.foot_size, atol=2e-3)
 
