@@ -33,7 +33,8 @@ def main():
     model = Solo12Config.load_model()
     spec = KD.make_cyclic_spec(model, trot, Solo12Config.q0())
 
-    B = 256
+    B = 512  # throughput-optimal on one v5e chip (B=256 compiles faster but
+    # leaves ~15% on the table; see scripts/profile_breakdown.py)
     dtype = jnp.float32
     rng = np.random.default_rng(0)
     q = jnp.asarray(np.tile(Solo12Config.q0(), (B, 1)), dtype)

@@ -41,6 +41,7 @@ class DaggerConfig:
     vy_range: tuple = (-0.2, 0.2)
     w_range: tuple = (-0.3, 0.3)
     goal_type: str = "vc"
+    action_type: str = "pd_target"  # torque | pd_target | structured
     database_size: int = 1_000_000
     warmup_bc_epochs: int = 150
     bc: BcConfig = dataclasses.field(default_factory=BcConfig)
@@ -72,6 +73,7 @@ class _IterativeDriver:
         self.rcfg = rollout.RolloutConfig(
             episode_length=cfg.episode_length,
             plan_freq=p.plan_freq,
+            action_type=cfg.action_type,
             kp=p.kp,
             kd=p.kd,
             gait_id=GU.get_vc_gait_value(p.motion_name),

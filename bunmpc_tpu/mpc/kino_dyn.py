@@ -136,6 +136,8 @@ class MpcPlan(NamedTuple):
     dyn_violation: jnp.ndarray  # ()
     admm_iters: jnp.ndarray  # ()
     ik_cost: jnp.ndarray  # ()
+    P_opt: jnp.ndarray  # (H+1, 9) ADMM scaled dual (zeros on the pallas
+    # path, which keeps the dual VMEM-internal); feeds warm_start carry
 
 
 def _interp_1khz(spec: CyclicMpcSpec, dts, knots):
@@ -151,9 +153,17 @@ def _interp_1khz(spec: CyclicMpcSpec, dts, knots):
     return knots[k] * (1 - w[:, None]) + knots[k + 1] * w[:, None]
 
 
-def _prepare_problem(spec: CyclicMpcSpec, q, v, t, v_des, w_des, noise_xy=None, terrain=None):
+def _prepare_problem(
+    spec: CyclicMpcSpec, q, v, t, v_des, w_des, noise_xy=None, terrain=None,
+    warm_start=None,
+):
     """Single-sample problem assembly: contact plan + dynamics costs + warm
-    starts (abstract_cyclic_gen.py create_cnt_plan/create_costs)."""
+    starts (abstract_cyclic_gen.py create_cnt_plan/create_costs).
+
+    ``warm_start``: optional (X_wm, F_wm) overriding the reference's cold
+    warm start (current centroidal state tiled, zero forces — kino_dyn.cpp:
+    83-99); a receding-horizon caller passes the previous solution shifted
+    one window (see sim/rollout.py)."""
     p = spec.params
     m = spec.model.total_mass
     dtype = q.dtype
@@ -219,8 +229,11 @@ def _prepare_problem(spec: CyclicMpcSpec, q, v, t, v_des, w_des, noise_xy=None, 
     b_hi = jnp.array([spec.bx, spec.by, spec.bz], dtype)
     x_bounds = biconvex.kinematic_box_bounds(plan, b_lo, b_hi)
 
-    X_wm = jnp.tile(x_init, (H + 1, 1))  # kino_dyn.cpp:83-99
-    F_wm = jnp.zeros((H, spec.n_eff, 3), dtype)
+    if warm_start is None:
+        X_wm = jnp.tile(x_init, (H + 1, 1))  # kino_dyn.cpp:83-99
+        F_wm = jnp.zeros((H, spec.n_eff, 3), dtype)
+    else:
+        X_wm, F_wm = warm_start[0], warm_start[1]
     return dict(
         q=q, v=v, plan=plan, swing_mask=swing_mask, x_init=x_init,
         W=W, X_ref=X_ref, W_F=W_F, x_bounds=x_bounds, X_wm=X_wm, F_wm=F_wm,
@@ -279,7 +292,9 @@ def _build_ik_tasks(spec: CyclicMpcSpec, prob, dyn_X):
     return tasks, x0
 
 
-def _finish_from_ik(spec, prob, dyn_X, dyn_F, dyn_viol, dyn_iters, ik_xs, ik_us, ik_cost):
+def _finish_from_ik(
+    spec, prob, dyn_X, dyn_F, dyn_viol, dyn_iters, ik_xs, ik_us, ik_cost, dyn_P=None
+):
     """1 kHz interpolation + plan assembly (abstract_cyclic_gen.py:677-698)."""
     plan = prob["plan"]
     dt_arr = plan.dt
@@ -303,15 +318,19 @@ def _finish_from_ik(spec, prob, dyn_X, dyn_F, dyn_viol, dyn_iters, ik_xs, ik_us,
         dyn_violation=dyn_viol,
         admm_iters=dyn_iters,
         ik_cost=ik_cost,
+        P_opt=jnp.zeros_like(dyn_X) if dyn_P is None else dyn_P,
     )
 
 
-def _finish_solve(spec: CyclicMpcSpec, prob, dyn_X, dyn_F, dyn_viol, dyn_iters, ddp_cfg):
+def _finish_solve(
+    spec: CyclicMpcSpec, prob, dyn_X, dyn_F, dyn_viol, dyn_iters, ddp_cfg, dyn_P=None
+):
     """Single-sample IK + 1 kHz interpolation from the dynamics solution."""
     tasks, x0 = _build_ik_tasks(spec, prob, dyn_X)
     ik_res = IK.solve_ik(spec.model, spec.eff_frames, x0, tasks, ddp_cfg)
     return _finish_from_ik(
-        spec, prob, dyn_X, dyn_F, dyn_viol, dyn_iters, ik_res.xs, ik_res.us, ik_res.cost
+        spec, prob, dyn_X, dyn_F, dyn_viol, dyn_iters, ik_res.xs, ik_res.us,
+        ik_res.cost, dyn_P=dyn_P,
     )
 
 
@@ -326,14 +345,23 @@ def solve_mpc(
     ddp_cfg: ddp.DdpConfig = ddp.DdpConfig(),
     noise_xy=None,  # optional (H, n_eff, 2) contact-location noise
     terrain=None,  # optional sim.physics.Terrain: uneven-ground planning
+    warm_start=None,  # optional (X_wm, F_wm, P_wm) from a previous solve
 ) -> MpcPlan:
-    """One full kino-dynamic MPC solve (single sample; vmap for batches)."""
+    """One full kino-dynamic MPC solve (single sample; vmap for batches).
+
+    ``warm_start``: receding-horizon warm start (X, F, dual P) — typically the
+    previous window's solution shifted one window (sim/rollout.py carries it).
+    Default is the reference's cold start (kino_dyn.cpp:83-99)."""
     p = spec.params
     if admm_cfg is None:
         admm_cfg = biconvex.BiconvexConfig(rho=p.rho)
-    prob = _prepare_problem(spec, q, v, t, v_des, w_des, noise_xy=noise_xy, terrain=terrain)
+    prob = _prepare_problem(
+        spec, q, v, t, v_des, w_des, noise_xy=noise_xy, terrain=terrain,
+        warm_start=None if warm_start is None else warm_start[:2],
+    )
     H = spec.horizon
     dtype = q.dtype
+    P_wm = jnp.zeros((H + 1, 9), dtype) if warm_start is None else warm_start[2]
     dyn = biconvex.solve(
         prob["plan"],
         spec.model.total_mass,
@@ -342,11 +370,13 @@ def solve_mpc(
         prob["W_F"],
         prob["X_wm"],
         prob["F_wm"],
-        jnp.zeros((H + 1, 9), dtype),
+        P_wm,
         admm_cfg,
         x_bounds=prob["x_bounds"],
     )
-    return _finish_solve(spec, prob, dyn.X, dyn.F, dyn.viol_norm, dyn.admm_iters, ddp_cfg)
+    return _finish_solve(
+        spec, prob, dyn.X, dyn.F, dyn.viol_norm, dyn.admm_iters, ddp_cfg, dyn_P=dyn.P
+    )
 
 
 def solve_mpc_batch(
@@ -396,6 +426,7 @@ def solve_mpc_batch(
             prob["x_bounds"],
             admm_cfg,
         )
+        P = jnp.zeros_like(X)  # dual stays VMEM-internal in the kernel
     else:
         if admm_cfg is None:
             admm_cfg = biconvex.BiconvexConfig(rho=p.rho)
@@ -412,7 +443,7 @@ def solve_mpc_batch(
             admm_cfg,
             x_bounds=prob["x_bounds"],
         )
-        X, F, viol, iters = dyn.X, dyn.F, dyn.viol_norm, dyn.admm_iters
+        X, F, viol, iters, P = dyn.X, dyn.F, dyn.viol_norm, dyn.admm_iters, dyn.P
     if ik_backend == "pallas":
         from ..solvers import pallas_ddp
 
@@ -447,5 +478,7 @@ def solve_mpc_batch(
             )
         )(prob, X, F, viol, iters, ik_xs, ik_us, ik_cost)
     return jax.vmap(
-        lambda prob, X, F, viol, iters: _finish_solve(spec, prob, X, F, viol, iters, ddp_cfg)
-    )(prob, X, F, viol, iters)
+        lambda prob, X, F, viol, iters, P: _finish_solve(
+            spec, prob, X, F, viol, iters, ddp_cfg, dyn_P=P
+        )
+    )(prob, X, F, viol, iters, P)

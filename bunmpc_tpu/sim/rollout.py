@@ -142,6 +142,27 @@ def _measure(q, v, q_noise, v_noise):
     return qm, vm
 
 
+def _decode_action(cfg: RolloutConfig, action, q, v):
+    """Policy action -> joint torques, per action_type (reference
+    simulation.py:760-777):
+    * torque:     tau = action
+    * pd_target:  tau = kp (a - q_j) - kd v_j
+    * structured: action = [tau_ff(12), q_des(12), dq_des(12)],
+                  tau = tau_ff + kp (q_des - q_j) + kd (dq_des - v_j)
+    """
+    nj = q.shape[-1] - 7
+    if cfg.action_type == "torque":
+        return action
+    if cfg.action_type == "pd_target":
+        return cfg.kp * (action - q[..., 7:]) - cfg.kd * v[..., 6:]
+    if cfg.action_type == "structured":
+        tau_ff = action[..., :nj]
+        q_des = action[..., nj : 2 * nj]
+        dq_des = action[..., 2 * nj : 3 * nj]
+        return tau_ff + cfg.kp * (q_des - q[..., 7:]) + cfg.kd * (dq_des - v[..., 6:])
+    raise ValueError(f"unsupported action_type {cfg.action_type!r}")
+
+
 def _extract_action(cfg: RolloutConfig, tau, q, v, tau_ff=None, q_des=None, v_des_traj=None):
     """Action encodings (simulation.py:525-531); pd_target recovers the
     implied PD setpoint from the torque; "structured" captures
@@ -170,6 +191,7 @@ def rollout_mpc(
     admm_cfg=None,
     ddp_cfg=None,
     gains: controllers.IdControllerGains | None = None,  # PD override (vmappable)
+    warm_start_carry: bool = False,
 ) -> RolloutResult:
     """MPC expert rollout (reference Simulation.rollout_mpc, simulation.py:340).
 
@@ -179,6 +201,12 @@ def rollout_mpc(
     (simulation.py:56-61,471-477): a constant per-episode bias added to the
     *measured* state the controller sees, while the physics integrates the
     true state.
+
+    ``warm_start_carry=True`` feeds each window's ADMM the previous window's
+    (X, F, dual) shifted one window and translated into the new plan frame —
+    a receding-horizon accelerator the reference lacks (its F/P warm starts
+    stay zero forever, kino_dyn.cpp:20-23): the masked ADMM while_loop exits
+    earlier, identical fixed points.
     """
     model = spec.model
     eff = spec.eff_frames
@@ -190,11 +218,32 @@ def rollout_mpc(
         kwargs["admm_cfg"] = admm_cfg
     if ddp_cfg is not None:
         kwargs["ddp_cfg"] = ddp_cfg
+    H = spec.horizon
+    n_shift = max(1, int(round(cfg.plan_freq / spec.params.gait_dt)))
 
     def window(carry, w_idx):
-        state, failed, fail_step = carry
+        state, failed, fail_step, ws_prev = carry
         sim_t = start_time + w_idx * cfg.plan_freq * 1.0
         qm0, vm0 = _measure(state.q, state.v, q_noise, v_noise)
+        if warm_start_carry:
+            prevX, prevF, prevP, prev_xy, have_prev = ws_prev
+            # default = reference cold start: tiled current centroidal state
+            q_reset = qm0.at[0:2].set(0.0)
+            com, h_lin, h_ang = K.centroidal_momentum(model, q_reset, vm0)
+            x_init = jnp.concatenate([com, h_lin / model.total_mass, h_ang])
+            defX = jnp.tile(x_init, (H + 1, 1))
+            # shift previous solution one window and translate xy into the
+            # new plan frame (plan frames are origin-reset at the base xy)
+            dxy = prev_xy - qm0[0:2]
+            shX = jnp.concatenate([prevX[n_shift:], jnp.tile(prevX[-1:], (n_shift, 1))])
+            shX = shX.at[:, 0:2].add(dxy)
+            shF = jnp.concatenate([prevF[n_shift:], jnp.tile(prevF[-1:], (n_shift, 1, 1))])
+            shP = jnp.concatenate([prevP[n_shift:], jnp.tile(prevP[-1:], (n_shift, 1))])
+            kwargs["warm_start"] = (
+                jnp.where(have_prev, shX, defX),
+                jnp.where(have_prev, shF, jnp.zeros_like(shF)),
+                jnp.where(have_prev, shP, jnp.zeros_like(shP)),
+            )
         plan = KD.solve_mpc(
             spec,
             qm0,
@@ -205,6 +254,8 @@ def rollout_mpc(
             terrain=terrain,  # terrain-aware touchdown/height planning
             **kwargs,
         )
+        if warm_start_carry:
+            ws_prev = (plan.X_opt, plan.F_opt, plan.P_opt, qm0[0:2], jnp.asarray(True))
         mpc_bad = jnp.any(jnp.isnan(plan.f_int)) | jnp.any(jnp.isnan(plan.xs_int))
 
         def substep(inner, i):
@@ -244,10 +295,21 @@ def rollout_mpc(
         (state, failed, fail_step), outs = jax.lax.scan(
             substep, (state, failed, fail_step), jnp.arange(spp)
         )
-        return (state, failed, fail_step), outs
+        return (state, failed, fail_step, ws_prev), outs
 
-    init = (state0, jnp.asarray(False), jnp.asarray(cfg.episode_length, jnp.int32))
-    (final_state, failed, fail_step), outs = jax.lax.scan(
+    if warm_start_carry:
+        f32 = state0.q.dtype
+        ws0 = (
+            jnp.zeros((H + 1, 9), f32),
+            jnp.zeros((H, spec.n_eff, 3), f32),
+            jnp.zeros((H + 1, 9), f32),
+            jnp.zeros(2, f32),
+            jnp.asarray(False),
+        )
+    else:
+        ws0 = jnp.zeros(())  # inert carry slot
+    init = (state0, jnp.asarray(False), jnp.asarray(cfg.episode_length, jnp.int32), ws0)
+    (final_state, failed, fail_step, _), outs = jax.lax.scan(
         window, init, jnp.arange(cfg.n_windows)
     )
     flat = jax.tree_util.tree_map(lambda a: a.reshape((-1,) + a.shape[2:]), outs)
@@ -322,10 +384,13 @@ def _gated_rollout(
             tau_mpc = tau_ff + tau_fb
             # policy torques
             action_pol = policy_fn(feat, goal)
-            tau_pol = cfg.kp * (action_pol - q[7:]) - cfg.kd * v[6:]
+            tau_pol = _decode_action(cfg, action_pol, q, v)
 
             tau = jnp.where(use_mpc, tau_mpc, tau_pol)
-            action = jnp.where(use_mpc, _extract_action(cfg, tau_mpc, q, v), action_pol)
+            action_mpc = _extract_action(
+                cfg, tau_mpc, q, v, tau_ff=tau_ff, q_des=q_des, v_des_traj=v_des_traj
+            )
+            action = jnp.where(use_mpc, action_mpc, action_pol)
             new_state, cinfo = physics.step(model, eff, sim_params, state, tau)
             now_failed = failed | failed_state(cfg, q, step_idx)
             fail_step = jnp.where(now_failed & ~failed, step_idx, fail_step)
@@ -509,9 +574,9 @@ def rollout_policy(
     v_noise=None,
 ) -> RolloutResult:
     """Policy rollout (reference Simulation.rollout_policy, simulation.py:582):
-    the policy runs at 1 kHz on normalized [state, goal] inputs and emits
-    pd_target actions: tau = kp (a - q_joints) - kd v_joints (simulation.py:
-    764-769)."""
+    the policy runs at 1 kHz on normalized [state, goal] inputs; its action is
+    decoded to torques per ``cfg.action_type`` (torque / pd_target /
+    structured, simulation.py:760-777)."""
     model = spec.model
     eff = spec.eff_frames
 
@@ -525,7 +590,7 @@ def rollout_policy(
         else:
             goal = goal_fn(step_idx, q)
         action = policy_fn(feat, goal)
-        tau = cfg.kp * (action - q[7:]) - cfg.kd * v[6:]
+        tau = _decode_action(cfg, action, q, v)
         fe = None if push_force is None else push_force[step_idx]
         new_state, cinfo = physics.step(
             model, eff, sim_params, state, tau, f_ext=fe, terrain=terrain

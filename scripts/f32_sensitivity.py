@@ -16,6 +16,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import jax
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):  # sitecustomize pins jax_platforms; re-apply
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 jax.config.update("jax_enable_x64", True)  # allow f64 islands; inputs pick dtype
 cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", cache)

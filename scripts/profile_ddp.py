@@ -8,6 +8,11 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):  # sitecustomize pins jax_platforms; re-apply
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 import numpy as np
 

@@ -13,6 +13,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    from bunmpc_tpu.utils.runtime import setup_jax
+
+    setup_jax()  # honor JAX_PLATFORMS + persistent compile cache
     from bunmpc_tpu.learning.bc import BcConfig
     from bunmpc_tpu.learning.dagger import (
         Dagger,
@@ -44,6 +47,7 @@ def main():
         vy_range=tuple(cfg.get("vy_range", (-0.2, 0.2))),
         w_range=tuple(cfg.get("w_range", (-0.3, 0.3))),
         goal_type=cfg.get("goal_type", "vc"),
+        action_type=cfg.get("action_type", "pd_target"),
         warmup_bc_epochs=cfg.get("warmup_bc_epochs", 150),
         bc=BcConfig(n_epoch=cfg.get("bc_epochs", 50)),
     )

@@ -15,6 +15,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    from bunmpc_tpu.utils.runtime import setup_jax
+
+    setup_jax()  # honor JAX_PLATFORMS + persistent compile cache
     import jax
 
     from bunmpc_tpu.learning.data_collection import DataCollection, DataCollectionConfig

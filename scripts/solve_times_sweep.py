@@ -19,6 +19,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     import jax
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):  # sitecustomize pins jax_platforms; re-apply
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
     cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

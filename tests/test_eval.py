@@ -67,3 +67,37 @@ def test_max_force_search(spec, sim_params):
     # 2.5 kg robot) may fail, but the search must report sane fractions
     for mag, frac in history:
         assert 0.0 <= frac <= 1.0
+
+
+def test_cc_replanning_comparison(spec, sim_params, tmp_path):
+    """All three variants (vc / cc_static / cc_replanned) run, produce
+    per-command MSE tables, and the goal dimensionality matches
+    3*n_eff*goal_horizon (reference effects_of_cc_replanning ablation)."""
+    from bunmpc_tpu.eval import cc_replanning
+
+    cfg = rollout.RolloutConfig(
+        episode_length=300, kp=3.0, kd=0.1, gait_period=trot.gait_period
+    )
+    state0 = physics.SimState(q=jnp.asarray(Solo12Config.q0()), v=jnp.zeros(18))
+    q0j = jnp.asarray(Solo12Config.q0())[7:]
+
+    def vc_policy(feat, goal):
+        assert goal.shape == (5,)
+        return q0j
+
+    def cc_policy(feat, goal):
+        assert goal.shape == (12,)  # 3 * n_eff * goal_horizon
+        return q0j
+
+    res = cc_replanning.compare_cc_replanning(
+        spec, sim_params, cfg, state0, vc_policy, cc_policy,
+        v_des_batch=np.array([[0.0, 0.0, 0.0], [0.2, 0.0, 0.0]]),
+        w_des_batch=np.array([0.0, 0.0]),
+    )
+    s = res.summary()
+    assert set(s) == {"vc", "cc_static", "cc_replanned"}
+    for name in s:
+        assert np.isfinite(res.vx_mse[name]).all()
+    path = os.path.join(tmp_path, "cc.csv")
+    res.to_csv(path)
+    assert sum(1 for _ in open(path)) == 1 + 3 * 2

@@ -185,3 +185,55 @@ def test_walk_gait_solves():
     assert float(plan.dyn_violation) < 1e-2
     X = np.asarray(plan.X_opt)
     assert np.all(np.abs(X[:, 2] - walk.nom_ht) < 0.08)
+
+
+def test_warm_start_accelerates_admm(spec, solve):
+    """Receding-horizon warm start (previous solution + dual, shifted one
+    window) must converge in fewer ADMM iterations than the reference's cold
+    start and land on the same trajectory (identical fixed points)."""
+    q = jnp.asarray(Solo12Config.q0())
+    v = jnp.asarray(Solo12Config.v0())
+    vd, wd = jnp.asarray([0.2, 0.0, 0.0]), jnp.asarray(0.0)
+    cold0 = solve(q, v, jnp.asarray(0.0), vd, wd)
+    # warm-start the t=0.05 solve with the t=0 solution shifted one knot
+    shX = jnp.concatenate([cold0.X_opt[1:], cold0.X_opt[-1:]])
+    shF = jnp.concatenate([cold0.F_opt[1:], cold0.F_opt[-1:]])
+    shP = jnp.concatenate([cold0.P_opt[1:], cold0.P_opt[-1:]])
+    cold = solve(q, v, jnp.asarray(0.05), vd, wd)
+    warm = jax.jit(
+        lambda q, v, t, vd, wd, ws: KD.solve_mpc(spec, q, v, t, vd, wd, warm_start=ws)
+    )(q, v, jnp.asarray(0.05), vd, wd, (shX, shF, shP))
+    assert float(warm.dyn_violation) < 1e-3
+    assert int(warm.admm_iters) <= int(cold.admm_iters)
+    np.testing.assert_allclose(
+        np.asarray(warm.X_opt), np.asarray(cold.X_opt), atol=2e-2
+    )
+
+
+def test_rollout_mpc_warm_start_carry(spec):
+    """warm_start_carry=True rollout: stays alive, matches the cold-start
+    rollout closely over a short horizon."""
+    from bunmpc_tpu.sim import physics, rollout
+    from bunmpc_tpu.solvers import biconvex, ddp
+
+    sp = physics.SimParams(contact=physics.ContactParams(mu=1.0))
+    cfg = rollout.RolloutConfig(
+        episode_length=300, kp=trot.kp, kd=trot.kd, gait_period=trot.gait_period
+    )
+    s0 = physics.SimState(q=jnp.asarray(Solo12Config.q0()), v=jnp.zeros(18))
+    fast_admm = biconvex.BiconvexConfig(rho=trot.rho, max_admm_iters=60)
+    fast_ddp = ddp.DdpConfig(n_iters=4)
+    run = jax.jit(
+        lambda s, vd, wd, carry: rollout.rollout_mpc(
+            spec, sp, cfg, s, vd, wd, admm_cfg=fast_admm, ddp_cfg=fast_ddp,
+            warm_start_carry=carry,
+        ),
+        static_argnums=3,
+    )
+    vd, wd = jnp.asarray([0.2, 0.0, 0.0]), jnp.asarray(0.0)
+    res_w = run(s0, vd, wd, True)
+    res_c = run(s0, vd, wd, False)
+    assert not bool(res_w.failed)
+    # same controller trajectory to within solver-tolerance noise
+    db = np.abs(np.asarray(res_w.base) - np.asarray(res_c.base)).max()
+    assert db < 0.05

@@ -179,3 +179,50 @@ def test_id_controller_gravity_comp():
     assert float(jnp.max(jnp.abs(tau_fb))) == 0.0
     # torque must be small (weight is carried by the contact forces)
     assert float(jnp.max(jnp.abs(tau_ff))) < 1.5
+
+
+def test_action_encodings_round_trip():
+    """All three reference action types (simulation.py:525-531, 760-777):
+    extraction and decode are mutually consistent."""
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(np.concatenate([rng.normal(size=3), [0, 0, 0, 1], rng.normal(size=12)]))
+    v = jnp.asarray(rng.normal(size=18))
+    tau = jnp.asarray(rng.normal(size=12))
+    tau_ff = jnp.asarray(rng.normal(size=12))
+    q_des = jnp.asarray(np.concatenate([rng.normal(size=7), rng.normal(size=12)]))
+    v_des = jnp.asarray(rng.normal(size=18))
+
+    cfg_t = rollout.RolloutConfig(episode_length=100, action_type="torque")
+    a = rollout._extract_action(cfg_t, tau, q, v)
+    np.testing.assert_allclose(rollout._decode_action(cfg_t, a, q, v), tau)
+
+    cfg_p = rollout.RolloutConfig(episode_length=100, action_type="pd_target", kp=3.0, kd=0.05)
+    a = rollout._extract_action(cfg_p, tau, q, v)
+    np.testing.assert_allclose(rollout._decode_action(cfg_p, a, q, v), tau, rtol=1e-6)
+
+    cfg_s = rollout.RolloutConfig(episode_length=100, action_type="structured", kp=3.0, kd=0.05)
+    a = rollout._extract_action(cfg_s, tau, q, v, tau_ff=tau_ff, q_des=q_des, v_des_traj=v_des)
+    assert a.shape == (36,)  # [tau_ff, q_des_joints, dq_des_joints]
+    expect = tau_ff + 3.0 * (q_des[7:] - q[7:]) + 0.05 * (v_des[6:] - v[6:])
+    np.testing.assert_allclose(rollout._decode_action(cfg_s, a, q, v), expect, rtol=1e-6)
+
+
+def test_rollout_policy_structured(spec, sim_params):
+    """A structured-action policy (gravity-free tau_ff=0, PD toward q0) holds
+    the robot up, exercising the structured decode path in-graph."""
+    q0 = jnp.asarray(Solo12Config.q0())
+    cfg = rollout.RolloutConfig(
+        episode_length=300, action_type="structured", kp=3.0, kd=0.1,
+        gait_period=trot.gait_period,
+    )
+
+    def policy_fn(feat, goal):
+        return jnp.concatenate([jnp.zeros(12), q0[7:], jnp.zeros(12)])
+
+    res = jax.jit(
+        lambda s, vd, wd: rollout.rollout_policy(
+            spec, sim_params, cfg, s, vd, wd, policy_fn
+        )
+    )(_state0(), jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray(0.0))
+    assert not bool(res.failed)
+    assert res.actions.shape == (300, 36)
