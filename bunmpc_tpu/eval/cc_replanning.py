@@ -142,10 +142,11 @@ def compare_cc_replanning(
     """Run all three variants over the command batch and report tracking MSE
     + survival per variant (the reference's per-command wandb tables)."""
     N = len(np.asarray(w_des_batch))
-    v_des = jnp.asarray(v_des_batch, jnp.float32)
-    w_des = jnp.asarray(w_des_batch, jnp.float32)
-    q = jnp.tile(jnp.asarray(state0.q, jnp.float32)[None], (N, 1))
-    v = jnp.tile(jnp.asarray(state0.v, jnp.float32)[None], (N, 1))
+    dtype = jnp.asarray(state0.q).dtype  # follow the caller's state dtype
+    v_des = jnp.asarray(v_des_batch, dtype)
+    w_des = jnp.asarray(w_des_batch, dtype)
+    q = jnp.tile(jnp.asarray(state0.q, dtype)[None], (N, 1))
+    v = jnp.tile(jnp.asarray(state0.v, dtype)[None], (N, 1))
 
     scheds = desired_schedules(
         spec, state0.q, state0.v, v_des_batch, w_des_batch, cfg.episode_length
@@ -153,9 +154,9 @@ def compare_cc_replanning(
     goals_static = jnp.asarray(
         static_cc_goals(spec, scheds, state0.q, v_des_batch, cfg.episode_length,
                         goal_horizon=goal_horizon),
-        jnp.float32,
+        dtype,
     )
-    scheds_j = jnp.asarray(scheds, jnp.float32)
+    scheds_j = jnp.asarray(scheds, dtype)
 
     run_vc = jax.jit(
         jax.vmap(

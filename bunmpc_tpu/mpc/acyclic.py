@@ -268,4 +268,5 @@ def solve_acyclic_mpc(
         dyn_violation=dyn.viol_norm,
         admm_iters=dyn.admm_iters,
         ik_cost=ik_res.cost,
+        P_opt=dyn.P,
     )

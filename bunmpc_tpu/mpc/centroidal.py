@@ -153,6 +153,55 @@ def bf_vec(plan: ContactPlan, m: float, F, x_init):
     return jnp.concatenate([rows, x_init[..., None, :]], axis=-2)
 
 
+# --- constraint-operator diagonals (Jacobi preconditioners) ---
+
+
+def af_diag(plan: ContactPlan, F):
+    """diag(A_f(F)^T A_f(F)) -> (..., H+1, 9), closed form from the stencil.
+
+    Per knot k and component group (com/vel/ang):
+      com_i: 1_{k<H} (1 + dt_k^2 (|cF_k|^2 - cF_{k,i}^2)) + 1_{k>=1} + 1_{k=0}
+      vel_i: 1_{k<H} + 1_{k>=1} (1 + dt_{k-1}^2)
+      ang_i: 1_{k<H} + 1_{k>=1}
+    (the cross-term columns are those of skew(cF_k); the k=0 extra 1 is the
+    initial-state pinning row). Feeds the diagonal-metric FISTA step — the
+    X-Hessian diag 2(W + rho*af_diag) spans ~1e-5..1e6 through W, which is
+    exactly why the unpreconditioned step saturates its iteration cap."""
+    cnt, dt = plan.cnt, plan.dt
+    H = cnt.shape[-2]
+    cF_tot = jnp.sum(cnt[..., None] * F, axis=-2)  # (..., H, 3)
+    cf2 = jnp.sum(cF_tot * cF_tot, axis=-1, keepdims=True)  # (..., H, 1)
+    dt2 = (dt * dt)[..., None]  # (..., H, 1)
+
+    batch = cnt.shape[:-2]
+    one = jnp.ones(batch + (H + 1, 3), dt.dtype)
+    k_lt_H = jnp.concatenate([one[..., :H, :], jnp.zeros_like(one[..., :1, :])], -2)
+    k_ge_1 = jnp.concatenate([jnp.zeros_like(one[..., :1, :]), one[..., :H, :]], -2)
+    k_eq_0 = jnp.concatenate([one[..., :1, :], jnp.zeros_like(one[..., :H, :])], -2)
+
+    cross_sq = dt2 * (cf2 - cF_tot * cF_tot)  # (..., H, 3)
+    cross_sq = jnp.concatenate([cross_sq, jnp.zeros_like(cross_sq[..., :1, :])], -2)
+    d_com = k_lt_H * (1.0 + cross_sq) + k_ge_1 + k_eq_0
+
+    dt2_prev = jnp.concatenate([jnp.zeros_like(dt2[..., :1, :]), dt2], -2)
+    d_vel = k_lt_H + k_ge_1 * (1.0 + dt2_prev)
+    d_ang = k_lt_H + k_ge_1
+    return jnp.concatenate([d_com, d_vel, d_ang], axis=-1)
+
+
+def ax_diag_iso(plan: ContactPlan, m: float, X):
+    """Per-contact isotropic diag(A_x(X)^T A_x(X)) -> (..., H, n_eff, 1).
+
+    Exact per-component diag is cnt * dt^2 (1/m^2 + |arm|^2 - arm_i^2);
+    averaging over i keeps the metric isotropic within each 3-vector so the
+    friction-cone projection stays exact in the scaled space."""
+    arm = plan.r - X[..., :-1, None, 0:3]
+    arm2 = jnp.sum(arm * arm, axis=-1, keepdims=True)
+    dt2 = (plan.dt * plan.dt)[..., None, None]
+    d = plan.cnt[..., None] * dt2 * (1.0 / (m * m) + 2.0 * arm2 / 3.0)
+    return d
+
+
 # --- dense materialization (for golden tests against the numpy/C++ twins) ---
 
 

@@ -116,6 +116,65 @@ def power_iteration_L(matvec: Callable, shape, dtype, n_var_dims: int, iters: in
     return safety * lam
 
 
+def solve_diag_step(
+    x0: jnp.ndarray,
+    grad_fn: Callable,
+    proj_fn: Callable,
+    D,  # per-coordinate step metric, broadcastable to x0 (D >= Hessian)
+    cfg: FistaConfig,
+    n_var_dims: int = 1,
+) -> FistaResult:
+    """Projected FISTA in a diagonal metric: y <- proj(y - grad / D).
+
+    With D = lam_max(D0^{-1/2} H D0^{-1/2}) * safety * D0 for a Jacobi
+    estimate D0 of diag(H), this is plain FISTA on the variable z = D^{1/2} x
+    — valid for box projections (separable per coordinate) and for friction
+    cones when D is isotropic within each 3-vector (cone invariant under a
+    uniform scaling). Cuts the effective condition number by the diagonal
+    spread of H (~1e6 for the X subproblem, which is why the scalar-step
+    variant saturates its iteration cap)."""
+    batch_shape = x0.shape[: x0.ndim - n_var_dims]
+    dtype = x0.dtype
+    D = jnp.broadcast_to(jnp.asarray(D, dtype), x0.shape)
+
+    def expand(s):
+        return s.reshape(s.shape + (1,) * n_var_dims)
+
+    def cond(carry):
+        it, done = carry[-2], carry[-1]
+        return jnp.logical_and(~jnp.all(done), it < cfg.max_iters)
+
+    def body(carry):
+        x_k, y_k, t_k, g_norm, iters, it, done = carry
+        grad = grad_fn(y_k)
+        y_next = proj_fn(y_k - grad / D)
+        g = jnp.sqrt(_vdot(y_next - y_k, y_next - y_k, n_var_dims))
+        diff = y_next - x_k
+        if cfg.momentum == "reference":
+            t_next = 1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k) / 2.0
+        else:
+            t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
+        y_mom = y_next + expand((t_k - 1.0) / t_next) * diff
+
+        upd = expand(~done)
+        x_k = jnp.where(upd, y_next, x_k)
+        y_k = jnp.where(upd, y_mom, y_k)
+        t_k = jnp.where(~done, t_next, t_k)
+        g_norm = jnp.where(~done, g, g_norm)
+        iters = jnp.where(~done, it + 1, iters)
+        done = done | (g_norm < cfg.tol)
+        return x_k, y_k, t_k, g_norm, iters, it + 1, done
+
+    t0 = jnp.ones(batch_shape, dtype)
+    g0 = jnp.full(batch_shape, jnp.inf, dtype)
+    done0 = jnp.zeros(batch_shape, bool)
+    iters0 = jnp.zeros(batch_shape, jnp.int32)
+    x, _, _, g_norm, iters, _, _ = jax.lax.while_loop(
+        cond, body, (x0, x0, t0, g0, iters0, jnp.zeros((), jnp.int32), done0)
+    )
+    return FistaResult(x=x, L=jnp.max(D, axis=tuple(range(-n_var_dims, 0))), iters=iters, g_norm=g_norm)
+
+
 def solve_fixed_step(
     x0: jnp.ndarray,
     grad_fn: Callable,

@@ -45,6 +45,11 @@ class PallasAdmmConfig:
     mu: float = 1.0
     power_iters: int = 8
     power_safety: float = 1.25
+    # Jacobi-preconditioned FISTA (diagonal metric from the closed-form
+    # stencil diagonals, per-contact isotropic for the cone) — mirrors
+    # biconvex.BiconvexConfig.precondition. Measured perf-neutral here
+    # (scripts/ab_precondition.py: 1.00x, caps dominate), default OFF.
+    precondition: bool = False
     interpret: bool = False  # CPU interpreter mode (tests)
 
 
@@ -222,18 +227,20 @@ def _kernel(
         den = vnorm2(z) + 1e-30
         return cfg.power_safety * num / den  # (SUB, T)
 
-    def fista(x0, grad_fn, proj_fn, L):
-        """Fixed-step projected FISTA; L (1, T). Returns solution.
+    def fista(x0, grad_fn, proj_fn, D):
+        """Projected FISTA with step y <- proj(y - grad / D); D broadcastable
+        to x0 (a (1, T)-shaped scalar Lipschitz, or a full per-coordinate
+        Jacobi metric). Returns solution.
 
         All per-lane scalars are float 0/1 masks combined arithmetically —
         Mosaic's (1, 128) select/bool layouts are fragile in loop carries."""
-        Lr = L[0:1].reshape((1,) * (x0.ndim - 1) + (x0.shape[-1],))
+        Dr = jnp.broadcast_to(D, x0.shape)
         bshape = (1,) * (x0.ndim - 1) + (x0.shape[-1],)
 
         def body(_, carry):
             x_k, y_k, t_k, act = carry  # act: 1.0 while active, 0.0 once converged
             grad = grad_fn(y_k)
-            y_next = proj_fn(y_k - grad / Lr)
+            y_next = proj_fn(y_k - grad / Dr)
             g2 = vnorm2(y_next - y_k)  # (SUB, T)
             t_next = 1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k) / 2.0
             y_mom = y_next + ((t_k[0:1] - 1.0) / t_next[0:1]).reshape(bshape) * (y_next - x_k)
@@ -276,8 +283,20 @@ def _kernel(
         def grad_f(y):
             return 2.0 * (WF * y + rho * ax_applyT(X, ax_apply(X, y) + bP))
 
-        L_f = power_L(quad_f, F.shape)
-        F_new = fista(F, grad_f, soc_project, L_f)
+        if cfg.precondition:
+            # per-contact isotropic Jacobi diag of 2(W_F + rho A_x^T A_x)
+            # (centroidal.ax_diag_iso in the (.., T) layout)
+            arm_d = r - X[:H, 0:3, :][:, None, :, :]
+            arm2 = jnp.sum(arm_d * arm_d, axis=2, keepdims=True)
+            dt2 = (dt * dt)[:, None, None, :]
+            wf_iso = jnp.mean(WF, axis=2, keepdims=True)
+            d0f = 2.0 * (wf_iso + rho * cnt4 * dt2 * (1.0 / (m * m) + 2.0 * arm2 / 3.0)) + 1e-12
+            sqf = jnp.sqrt(d0f)
+            lam_f = power_L(lambda z: quad_f(z / sqf) / sqf, F.shape)
+            D_f = lam_f[0:1].reshape(1, 1, 1, -1) * d0f
+        else:
+            D_f = power_L(quad_f, F.shape)[0:1].reshape(1, 1, 1, -1)
+        F_new = fista(F, grad_f, soc_project, D_f)
 
         # X subproblem
         bf = bf_vec(F_new)
@@ -289,8 +308,30 @@ def _kernel(
         def grad_x(y):
             return 2.0 * (W * y + rho * af_applyT(F_new, af_apply(F_new, y) + bPx)) + qlin
 
-        L_x = power_L(quad_x, X.shape)
-        X_new = fista(X, grad_x, box_project, L_x)
+        if cfg.precondition:
+            # closed-form diag(A_f^T A_f) (centroidal.af_diag, (.., T) layout)
+            cF_tot_d = jnp.sum(cnt4 * F_new, axis=1)  # (H, 3, T)
+            cf2 = jnp.sum(cF_tot_d * cF_tot_d, axis=1, keepdims=True)  # (H, 1, T)
+            dt2x = (dt * dt)[:, None, :]  # (H, 1, T)
+            T_l = X.shape[-1]
+            one3 = jnp.ones((H + 1, 3, T_l), jnp.float32)
+            z3 = jnp.zeros((1, 3, T_l), jnp.float32)
+            k_lt_H = jnp.concatenate([one3[:H], z3], axis=0)
+            k_ge_1 = jnp.concatenate([z3, one3[:H]], axis=0)
+            k_eq_0 = jnp.concatenate([one3[:1], jnp.zeros((H, 3, T_l), jnp.float32)], axis=0)
+            cross_sq = dt2x * (cf2 - cF_tot_d * cF_tot_d)  # (H, 3, T)
+            cross_sq = jnp.concatenate([cross_sq, jnp.zeros((1, 3, T_l), jnp.float32)], axis=0)
+            d_com = k_lt_H * (1.0 + cross_sq) + k_ge_1 + k_eq_0
+            dt2_prev = jnp.concatenate([jnp.zeros((1, 1, T_l), jnp.float32), dt2x], axis=0)
+            d_vel = k_lt_H + k_ge_1 * (1.0 + dt2_prev)
+            d_ang = k_lt_H + k_ge_1
+            d0x = 2.0 * (W + rho * jnp.concatenate([d_com, d_vel, d_ang], axis=1)) + 1e-12
+            sqx = jnp.sqrt(d0x)
+            lam_x = power_L(lambda z: quad_x(z / sqx) / sqx, X.shape)
+            D_x = lam_x[0:1].reshape(1, 1, -1) * d0x
+        else:
+            D_x = power_L(quad_x, X.shape)[0:1].reshape(1, 1, -1)
+        X_new = fista(X, grad_x, box_project, D_x)
 
         v = af_apply(F_new, X_new) - bf_vec(F_new)
         P_new = P + v

@@ -44,9 +44,11 @@ def main():
         spec = KD.make_cyclic_spec(C.load_model(), trot, C.q0())
         base_contact = (0.018, 1.0)  # foot_radius, mu
         tq_lim = 2.7
-        # (kp, kd) x (kn, dn, kt) grid around the reference gains
-        gains_grid = [(3.0, 0.05), (5.0, 0.15), (8.0, 0.3), (12.0, 0.5)]
-        contact_grid = [(4e3, 300.0, 300.0), (1e4, 500.0, 500.0), (2.4e4, 800.0, 800.0)]
+        # round-2 refinement around the coarse-sweep winner (kp=8, kd=0.3,
+        # kn=1e4: survives 3 s @ 0.3 m/s, roll_rms 8.6 deg; the reference's
+        # soft kp=3/kd=0.05 rolls over on the implicit soft ground)
+        gains_grid = [(6.0, 0.2), (8.0, 0.3), (8.0, 0.5), (10.0, 0.4)]
+        contact_grid = [(1e4, 500.0, 500.0), (1.6e4, 650.0, 650.0), (2.4e4, 800.0, 800.0)]
     else:
         from bunmpc_tpu.mpc.motions.go2_cyclic import trot
         from bunmpc_tpu.robots.go2 import Go2Config as C
