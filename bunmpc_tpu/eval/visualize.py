@@ -105,14 +105,30 @@ def render_rollout_video(
 
     from ..kin import algorithms as K
 
-    legs = ["FL", "FR", "HL", "HR"]
-    chain_names = [f"{leg}_{j}" for leg in legs for j in ("HAA", "HFE", "KFE", "FOOT")]
+    # Leg chains auto-derived from the model: group frames by their leg
+    # prefix (FL/FR/HL/HR for Solo, FL/FR/RL/RR for Go2) and order each
+    # chain by kinematic depth — robot-agnostic, unlike hardcoded
+    # HAA/HFE/KFE/FOOT names.
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for name, fr in model.frames.items():
+        groups[name.split("_")[0]].append((fr.body, name))
+    chains = [
+        [n for _, n in sorted(v)] for _, v in sorted(groups.items())
+    ][:4]
+    chain_names = [n for chain in chains for n in chain]
+    chain_slices = []
+    off = 0
+    for chain in chains:
+        chain_slices.append((off, off + len(chain)))
+        off += len(chain)
     qs = reconstruct_q(result)[::stride]
     incnt = np.asarray(result.in_contact).astype(bool)[::stride]
     # one batched FK over all sampled frames
     pts = np.asarray(
         K.frame_positions(model, jnp.asarray(qs), chain_names)
-    )  # (T, 16, 3)
+    )  # (T, n_chain_pts, 3)
     base = qs[:, 0:3]
 
     x_lo, x_hi = base[:, 0].min() - 0.35, base[:, 0].max() + 0.35
@@ -124,10 +140,10 @@ def render_rollout_video(
             ax.axhline(0.0, color="0.4", lw=1.0)
             ax.plot(base[: k + 1, i], base[: k + 1, j], "b-", lw=0.7, alpha=0.6)
             ax.plot(base[k, i], base[k, j], "ko", ms=5)
-            for l in range(4):
-                seg = pts[k, 4 * l : 4 * l + 4]
+            for l, (s0, s1) in enumerate(chain_slices):
+                seg = pts[k, s0:s1]
                 ax.plot(seg[:, i], seg[:, j], "-o", color=f"C{l}", ms=2.5, lw=1.6)
-                if incnt[k, l]:
+                if l < incnt.shape[1] and incnt[k, l]:
                     ax.plot(seg[-1, i], seg[-1, j], "gs", ms=5)
             ax.set_ylim(-0.05, 0.55)
             ax.set_aspect("equal")

@@ -89,5 +89,61 @@ def main():
     print(f"full solve: {dt_f*1e3:.2f} ms ({B/dt_f:.0f} solves/s, conv={ok:.2f})")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "mode=accel" not in sys.argv:
     main()
+
+
+def ab_acceleration():
+    """A/B the outer-loop acceleration (dual over-relaxation + rho
+    escalation) against plain dual ascent, one process, identical inputs.
+    Invoked with mode=accel."""
+    args = dict(a.split("=", 1) for a in sys.argv[1:])
+    B = int(args.get("batch", 256))
+
+    model = Solo12Config.load_model()
+    spec = KD.make_cyclic_spec(model, trot, Solo12Config.q0())
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(np.tile(Solo12Config.q0(), (B, 1)), dtype)
+    q = q.at[:, 7:].add(jnp.asarray(rng.normal(size=(B, 12)) * 0.05, dtype))
+    v = jnp.asarray(rng.normal(size=(B, 18)) * 0.05, dtype)
+    t = jnp.asarray(rng.uniform(0, 0.5, size=B), dtype)
+    v_des = jnp.asarray(
+        np.stack([rng.uniform(-0.3, 0.5, B), rng.uniform(-0.2, 0.2, B), np.zeros(B)], -1), dtype
+    )
+    w_des = jnp.asarray(rng.uniform(-0.3, 0.3, size=B), dtype)
+
+    variants = {
+        "plain": pallas_admm.PallasAdmmConfig(
+            rho=spec.params.rho, dual_relax=1.0, rho_growth=1.0
+        ),
+        "accel": pallas_admm.PallasAdmmConfig(rho=spec.params.rho),
+    }
+    outs = {}
+    for name, cfg in variants.items():
+        full = jax.jit(
+            lambda q, v, t, vd, wd, cfg=cfg: KD.solve_mpc_batch(
+                spec, q, v, t, vd, wd, admm_cfg=cfg
+            )
+        )
+        dt_f, plans = timeit(full, q, v, t, v_des, w_des)
+        ok = float(jnp.mean((plans.dyn_violation < 1e-2).astype(jnp.float32)))
+        strict = float(jnp.mean((plans.dyn_violation < 1e-3).astype(jnp.float32)))
+        outs[name] = (dt_f, plans)
+        print(
+            f"{name}: {dt_f*1e3:7.2f} ms ({B/dt_f:5.0f} solves/s) "
+            f"viol mean={float(jnp.mean(plans.dyn_violation)):.2e} "
+            f"iters mean={float(jnp.mean(plans.admm_iters)):.1f} "
+            f"conv@1e-2={ok:.2f} conv@1e-3={strict:.2f}"
+        )
+    dx = float(jnp.max(jnp.abs(outs["accel"][1].xs_int - outs["plain"][1].xs_int)))
+    df = float(jnp.max(jnp.abs(outs["accel"][1].f_int - outs["plain"][1].f_int)))
+    print(
+        f"speedup={outs['plain'][0]/outs['accel'][0]:.2f}x  "
+        f"max|d xs_int|={dx:.2e}  max|d f_int|={df:.2e}"
+    )
+
+
+if __name__ == "__main__" and "mode=accel" in sys.argv:
+    ab_acceleration()
+    sys.exit(0)

@@ -86,7 +86,10 @@ def test_admm_solve_parity(problem):
     assert vn < 1e-3
 
     plan = cd.ContactPlan(cnt=jnp.asarray(cnt), r=jnp.asarray(r), dt=jnp.asarray(dts))
-    cfg = biconvex.BiconvexConfig(rho=5e4, step_mode="linesearch")
+    # reference schedule (the C++ golden implements plain dual ascent)
+    cfg = biconvex.BiconvexConfig(
+        rho=5e4, step_mode="linesearch", dual_relax=1.0, rho_growth=1.0
+    )
     res = biconvex.solve(
         plan,
         M,
@@ -117,7 +120,9 @@ def test_admm_solve_parity(problem):
         jnp.asarray(X_wm),
         jnp.asarray(F_wm),
         jnp.zeros((H + 1, 9)),
-        biconvex.BiconvexConfig(rho=5e4, step_mode="power"),
+        biconvex.BiconvexConfig(
+            rho=5e4, step_mode="power", dual_relax=1.0, rho_growth=1.0
+        ),
     )
     np.testing.assert_allclose(np.asarray(res2.X), Xn.reshape(H + 1, 9), atol=2e-3)
 

@@ -37,15 +37,20 @@ def problem():
 
 def test_pallas_admm_matches_xla(problem):
     plan, x_init, W, X_ref, W_F, X_wm, F_wm, bounds = problem
+    # plain dual-ascent schedule: the iterate-for-iterate comparison below
+    # needs both paths on the exact same trajectory (the accelerated default
+    # magnifies tiny f32 ordering differences through the escalated rho)
     cfg = pallas_admm.PallasAdmmConfig(
-        rho=5e4, max_admm_iters=60, fista_max_iters=120, interpret=True
+        rho=5e4, max_admm_iters=60, fista_max_iters=120, interpret=True,
+        dual_relax=1.0, rho_growth=1.0,
     )
     Xp, Fp, violp, itersp = pallas_admm.solve(
         plan, M, x_init, W, X_ref, W_F, X_wm, F_wm, bounds, cfg
     )
 
     xla_cfg = biconvex.BiconvexConfig(
-        rho=5e4, max_admm_iters=60, fista_max_iters=120, step_mode="power"
+        rho=5e4, max_admm_iters=60, fista_max_iters=120, step_mode="power",
+        dual_relax=1.0, rho_growth=1.0,
     )
     res = biconvex.solve(
         plan,
@@ -68,3 +73,29 @@ def test_pallas_admm_matches_xla(problem):
     # initial state pinned on converged elements
     ok = np.asarray(violp) < 2e-3
     np.testing.assert_allclose(np.asarray(Xp)[ok, 0], x_init[ok], atol=5e-3)
+
+
+def test_pallas_admm_accelerated_converges(problem):
+    """With the accelerated default schedule (dual over-relaxation + rho
+    escalation) both backends must reach exit_tol on every problem and agree
+    on the converged trajectory loosely (small f32 ordering differences are
+    magnified through the escalated rho, so no iterate-level comparison)."""
+    plan, x_init, W, X_ref, W_F, X_wm, F_wm, bounds = problem
+    cfg = pallas_admm.PallasAdmmConfig(rho=5e4, interpret=True)
+    Xp, Fp, violp, _ = pallas_admm.solve(
+        plan, M, x_init, W, X_ref, W_F, X_wm, F_wm, bounds, cfg
+    )
+    res = biconvex.solve(
+        plan,
+        M,
+        jnp.asarray(x_init),
+        biconvex.CostX(W=jnp.asarray(W), X_ref=jnp.asarray(X_ref)),
+        jnp.asarray(W_F),
+        jnp.asarray(X_wm),
+        jnp.asarray(F_wm),
+        jnp.zeros((B, H + 1, 9), jnp.float32),
+        biconvex.BiconvexConfig(rho=5e4, step_mode="power"),
+    )
+    assert np.all(np.asarray(violp) < cfg.exit_tol)
+    assert np.all(np.asarray(res.viol_norm) < cfg.exit_tol)
+    np.testing.assert_allclose(np.asarray(Xp), np.asarray(res.X), atol=5e-2)
