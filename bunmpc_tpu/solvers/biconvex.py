@@ -59,10 +59,13 @@ class BiconvexConfig:
     # same exit_tol — it is simply reached in ~2.5x fewer outer iterations
     # with a ~30x smaller final violation (scripts/diagnose_admm.py A/B:
     # baseline never reaches 1e-3 in 100 iters, viol 1.9e-3; alpha=1.8 +
-    # rho x2@15 reaches it by ~iter 40). Set dual_relax=1.0, rho_growth=1.0
-    # for the reference's plain dual ascent.
-    dual_relax: float = 1.8
-    rho_growth: float = 3.0
+    # rho x3@10 reaches it by ~iter 30). Validated for Solo12-class QPs
+    # (bench.py opts in: alpha=1.8, growth=3@10 cap 27); on the 6x-heavier
+    # Go2 the escalated rho exceeds what the capped inner FISTA can solve
+    # and the loop diverges — hence REFERENCE defaults (1.0/1.0) here.
+    # Round-3 item: stall-gated growth with a divergence backoff.
+    dual_relax: float = 1.0
+    rho_growth: float = 1.0
     rho_growth_every: int = 10
     rho_max_scale: float = 27.0  # cap: rho <= rho * rho_max_scale
 

@@ -53,8 +53,8 @@ class PallasAdmmConfig:
     # Outer-loop acceleration (mirrors biconvex.BiconvexConfig): dual
     # over-relaxation + geometric rho escalation with dual rescaling. Same
     # fixed point and exit_tol, reached in ~2.5x fewer outer iterations.
-    dual_relax: float = 1.8
-    rho_growth: float = 3.0
+    dual_relax: float = 1.0
+    rho_growth: float = 1.0
     rho_growth_every: int = 10
     rho_max_scale: float = 27.0
     interpret: bool = False  # CPU interpreter mode (tests)

@@ -81,7 +81,8 @@ def test_pallas_admm_accelerated_converges(problem):
     on the converged trajectory loosely (small f32 ordering differences are
     magnified through the escalated rho, so no iterate-level comparison)."""
     plan, x_init, W, X_ref, W_F, X_wm, F_wm, bounds = problem
-    cfg = pallas_admm.PallasAdmmConfig(rho=5e4, interpret=True)
+    accel = dict(dual_relax=1.8, rho_growth=3.0, rho_growth_every=10, rho_max_scale=27.0)
+    cfg = pallas_admm.PallasAdmmConfig(rho=5e4, interpret=True, **accel)
     Xp, Fp, violp, _ = pallas_admm.solve(
         plan, M, x_init, W, X_ref, W_F, X_wm, F_wm, bounds, cfg
     )
@@ -94,7 +95,7 @@ def test_pallas_admm_accelerated_converges(problem):
         jnp.asarray(X_wm),
         jnp.asarray(F_wm),
         jnp.zeros((B, H + 1, 9), jnp.float32),
-        biconvex.BiconvexConfig(rho=5e4, step_mode="power"),
+        biconvex.BiconvexConfig(rho=5e4, step_mode="power", **accel),
     )
     assert np.all(np.asarray(violp) < cfg.exit_tol)
     assert np.all(np.asarray(res.viol_norm) < cfg.exit_tol)
