@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-GAIT_VALUES = {"trot": 1.0, "jump": 2.0, "bound": 3.0}
+GAIT_VALUES = {"trot": 1.0, "trot_sim": 1.0, "jump": 2.0, "bound": 3.0}
 
 
 def get_vc_gait_value(gait: str) -> float:

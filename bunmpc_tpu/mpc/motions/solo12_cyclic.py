@@ -204,8 +204,19 @@ walk = BiconvexMotionParams(
 )
 
 
+# In-sim validated trot: the reference's soft PD gains (kp=3/kd=0.05, tuned
+# against PyBullet's rigid contacts) roll the robot over on the implicit
+# soft-contact simulator; the round-2 stability sweep
+# (scripts/sweep_stability.py) found kp=8/kd=0.3 survives 3 s @ 0.3 m/s with
+# roll_rms 8.6 deg (pair with ContactParams(kn=1e4, dn=500, kt=500)).
+import dataclasses as _dc
+
+trot_sim = _dc.replace(trot, motion_name="trot_sim", kp=8.0, kd=0.3)
+
+
 GAITS = {
     "trot": trot,
+    "trot_sim": trot_sim,
     "trot_turn": trot_turn,
     "jump": jump,
     "bound": bound,
