@@ -71,7 +71,9 @@ def main():
 
     # warm-up / compile
     plans = jax.block_until_ready(solve(q, v, t, v_des, w_des))
-    ok = float(jnp.mean((plans.dyn_violation < 1e-2).astype(jnp.float32)))
+    # converged = at the solver's own exit tolerance (reference exit_tol 1e-3,
+    # biconvex.hpp:160) — NOT a looser headline gate
+    ok = float(jnp.mean((plans.dyn_violation < 1e-3).astype(jnp.float32)))
 
     n_rep = 5
     t0 = time.perf_counter()

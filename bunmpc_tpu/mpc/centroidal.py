@@ -161,10 +161,11 @@ def af_diag(plan: ContactPlan, F):
 
     Per knot k and component group (com/vel/ang):
       com_i: 1_{k<H} (1 + dt_k^2 (|cF_k|^2 - cF_{k,i}^2)) + 1_{k>=1} + 1_{k=0}
-      vel_i: 1_{k<H} + 1_{k>=1} (1 + dt_{k-1}^2)
-      ang_i: 1_{k<H} + 1_{k>=1}
+      vel_i: 1_{k<H} + 1_{k>=1} (1 + dt_{k-1}^2) + 1_{k=0}
+      ang_i: 1_{k<H} + 1_{k>=1} + 1_{k=0}
     (the cross-term columns are those of skew(cF_k); the k=0 extra 1 is the
-    initial-state pinning row). Feeds the diagonal-metric FISTA step — the
+    initial-state pinning row, which pins the FULL 9-vector X_0, so every
+    component group gets it). Feeds the diagonal-metric FISTA step — the
     X-Hessian diag 2(W + rho*af_diag) spans ~1e-5..1e6 through W, which is
     exactly why the unpreconditioned step saturates its iteration cap."""
     cnt, dt = plan.cnt, plan.dt
@@ -184,8 +185,8 @@ def af_diag(plan: ContactPlan, F):
     d_com = k_lt_H * (1.0 + cross_sq) + k_ge_1 + k_eq_0
 
     dt2_prev = jnp.concatenate([jnp.zeros_like(dt2[..., :1, :]), dt2], -2)
-    d_vel = k_lt_H + k_ge_1 * (1.0 + dt2_prev)
-    d_ang = k_lt_H + k_ge_1
+    d_vel = k_lt_H + k_ge_1 * (1.0 + dt2_prev) + k_eq_0
+    d_ang = k_lt_H + k_ge_1 + k_eq_0
     return jnp.concatenate([d_com, d_vel, d_ang], axis=-1)
 
 

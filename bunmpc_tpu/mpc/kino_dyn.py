@@ -473,10 +473,10 @@ def solve_mpc_batch(
             ),
         )
         return jax.vmap(
-            lambda pr, Xi, Fi, vi, it, xs, us, c: _finish_from_ik(
-                spec, pr, Xi, Fi, vi, it, xs, us, c
+            lambda pr, Xi, Fi, vi, it, xs, us, c, Pi: _finish_from_ik(
+                spec, pr, Xi, Fi, vi, it, xs, us, c, dyn_P=Pi
             )
-        )(prob, X, F, viol, iters, ik_xs, ik_us, ik_cost)
+        )(prob, X, F, viol, iters, ik_xs, ik_us, ik_cost, P)
     return jax.vmap(
         lambda prob, X, F, viol, iters, P: _finish_solve(
             spec, prob, X, F, viol, iters, ddp_cfg, dyn_P=P

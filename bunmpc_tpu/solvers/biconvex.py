@@ -284,5 +284,12 @@ def solve(
         X_wm, F_wm, P_wm, rho0, L_x0, L_f0, viol0, iters0, hist0,
         jnp.zeros((), jnp.int32), done0,
     )
-    X, F, P, _, _, _, viol_n, iters, hist, _, _ = jax.lax.while_loop(cond, body, carry)
+    X, F, P, rho_k, _, _, viol_n, iters, hist, _, _ = jax.lax.while_loop(cond, body, carry)
+    # The loop's P is the *scaled* dual y/rho_k relative to the (possibly
+    # escalated) final rho_k. Warm-start consumers restart a fresh solve at the
+    # base cfg.rho, so rescale to keep the implied dual y = P*rho consistent
+    # (advisor round-2: without this, rho_growth!=1 understates y by up to
+    # rho_max_scale when combined with warm_start_carry).
+    if cfg.rho_growth != 1.0:
+        P = P * (rho_k / cfg.rho)[..., None, None]
     return BiconvexResult(X=X, F=F, P=P, viol_norm=viol_n, admm_iters=iters, viol_hist=hist)

@@ -331,8 +331,8 @@ def _kernel(
             cross_sq = jnp.concatenate([cross_sq, jnp.zeros((1, 3, T_l), jnp.float32)], axis=0)
             d_com = k_lt_H * (1.0 + cross_sq) + k_ge_1 + k_eq_0
             dt2_prev = jnp.concatenate([jnp.zeros((1, 1, T_l), jnp.float32), dt2x], axis=0)
-            d_vel = k_lt_H + k_ge_1 * (1.0 + dt2_prev)
-            d_ang = k_lt_H + k_ge_1
+            d_vel = k_lt_H + k_ge_1 * (1.0 + dt2_prev) + k_eq_0
+            d_ang = k_lt_H + k_ge_1 + k_eq_0
             d0x = 2.0 * (W + rho_x3 * jnp.concatenate([d_com, d_vel, d_ang], axis=1)) + 1e-12
             sqx = jnp.sqrt(d0x)
             lam_x = power_L(lambda z: quad_x(z / sqx) / sqx, X.shape)

@@ -555,7 +555,6 @@ def _build_kernel(model, eff_frames, H: int, cfg: PallasDdpConfig):
             Iw = I_ws[b][None]
             Iom = _m3v(I_ws[b], oms[b])[None]
             dI_om = _cross(wts[b], Iom) - _m3v(Iw, _cross(wts[b], oms[b][None]))
-            com = c_ws[b] - (c_ws[b] - v_coms[b])  # placeholder, not used
             dh_ang = (
                 dh_ang
                 + dI_om

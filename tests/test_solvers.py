@@ -253,3 +253,40 @@ def test_biconvex_batched(plan):
     # same problem solved alone vs in a batch: identical up to masked-iteration
     # scheduling (batch elements run in lockstep) — allow loose tolerance
     np.testing.assert_allclose(np.asarray(res.X[0]), np.asarray(single.X), atol=1e-4)
+
+
+def test_af_diag_matches_dense(plan, rng):
+    """Closed-form diag(A_f^T A_f) (Jacobi metric) vs the dense twin —
+    including the initial-state pinning row's +1 on ALL 9 components of
+    knot 0 (advisor round-2 fix: vel/ang previously omitted it)."""
+    F = jnp.asarray(rng.normal(size=(H, NE, 3)))
+    A = cd.af_dense(plan, M_ROBOT, F)
+    want = np.diag(A.T @ A).reshape(H + 1, 9)
+    got = np.asarray(cd.af_diag(plan, F))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_dual_rescale_warm_start_consistency(plan):
+    """With rho escalation, the returned scaled dual P must be expressed
+    relative to the BASE rho so (X, F, P) can seed a fresh solve: the warm
+    restart should converge almost immediately instead of re-doing the work
+    (advisor round-2 medium finding)."""
+    x_init = jnp.asarray(np.array([0.0, 0.0, 0.2, 0, 0, 0, 0, 0, 0]))
+    X_ref = np.tile(np.array([0.0, 0.0, 0.2, 0, 0, 0, 0, 0, 0]), (H + 1, 1))
+    W = np.tile(np.array([1e-5, 1e-5, 1e5, 1e1, 1e1, 2e2, 1e4, 1e4, 1e4]), (H + 1, 1))
+    cost_x = biconvex.CostX(W=jnp.asarray(W), X_ref=jnp.asarray(X_ref))
+    W_F = jnp.full((H, NE, 3), 1e1)
+    X_wm = jnp.tile(x_init, (H + 1, 1))
+    F_wm = jnp.zeros((H, NE, 3))
+    P_wm = jnp.zeros((H + 1, 9))
+    accel = biconvex.BiconvexConfig(
+        rho=5e4, dual_relax=1.8, rho_growth=3.0, rho_growth_every=5
+    )
+    res = biconvex.solve(plan, M_ROBOT, x_init, cost_x, W_F, X_wm, F_wm, P_wm, accel)
+    assert float(res.viol_norm) < accel.exit_tol
+    # warm restart with the SAME accelerated schedule (the warm_start_carry
+    # scenario): the rescaled dual must beat both the cold solve and a
+    # mis-scaled dual (measured: 15 iters vs 25 cold / 25 unscaled)
+    res2 = biconvex.solve(plan, M_ROBOT, x_init, cost_x, W_F, res.X, res.F, res.P, accel)
+    assert float(res2.viol_norm) < accel.exit_tol
+    assert int(res2.admm_iters) < int(res.admm_iters) - 2
