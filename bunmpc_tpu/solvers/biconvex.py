@@ -68,6 +68,14 @@ class BiconvexConfig:
     rho_growth: float = 1.0
     rho_growth_every: int = 10
     rho_max_scale: float = 27.0  # cap: rho <= rho * rho_max_scale
+    # X-subproblem backend: "fista" = the reference's projected FISTA
+    # (biconvex.cpp:90-96); "thomas" = EXACT block-tridiagonal solve
+    # (solvers/block_thomas.py) + clip to the kinematic box. The normal
+    # matrix is block tridiagonal in the knot index, so one ~H-step
+    # Cholesky sweep replaces up to 150 capped FISTA iterations — exact
+    # whenever the (+-0.45 m) CoM box is inactive, which is the nominal
+    # gait regime.
+    x_solver: str = "fista"
 
     def fista_cfg(self, soc: bool):
         return fista.FistaConfig(
@@ -188,6 +196,13 @@ def solve(
 
     def solve_x(F, X0, P, L0, rho_k):
         """State subproblem: min (X-ref)'W(X-ref) + rho ||A_f X - b_f + P||^2."""
+        if cfg.x_solver == "thomas":
+            from . import block_thomas as bt
+
+            X_exact = bt.solve_x_exact(
+                plan, m, F, cost_x.W, cost_x.X_ref, P, rho_k, x_init
+            )
+            return proj_x(X_exact), L0
         rho = rho_k.reshape(rho_k.shape + (1, 1))
         b = cd.bf_vec(plan, m, F, x_init)
         bP = P - b

@@ -57,6 +57,13 @@ class PallasAdmmConfig:
     rho_growth: float = 1.0
     rho_growth_every: int = 10
     rho_max_scale: float = 27.0
+    # X-subproblem backend (mirrors biconvex.BiconvexConfig.x_solver):
+    # "fista" = projected FISTA (reference biconvex.cpp:90-96); "thomas" =
+    # EXACT block-tridiagonal normal-equation solve (block-Thomas sweep of
+    # 9x9 Cholesky blocks, see solvers/block_thomas.py for the derivation)
+    # + clip to the kinematic box. Replaces up to 150 sequential FISTA
+    # iterations AND the X power iteration with one ~H-step sweep.
+    x_solver: str = "fista"
     interpret: bool = False  # CPU interpreter mode (tests)
 
 
@@ -274,7 +281,167 @@ def _kernel(
         carry = jax.lax.while_loop(cond, wbody, (jnp.int32(0), x0, x0, t0, act0))
         return carry[1]
 
+    # ---- exact block-tridiagonal X-solve (x_solver="thomas") ----
+    # Lane-layout twin of solvers/block_thomas.py: the X-subproblem normal
+    # matrix 2(W + rho A_f'A_f) is block tridiagonal in the knot index
+    # (9x9 blocks), so one forward Cholesky sweep + back-substitution solves
+    # it exactly. All 9x9 linear algebra is unrolled on (9, [m,] T) tiles.
+
+    def _chol9(A):
+        """(9, 9, T) SPD -> lower Cholesky factor, right-looking unrolled.
+
+        All row masks are full-shape iotas — replicated (broadcast-from-
+        sublane) layouts hit Mosaic relayout bugs (see ``anchored``)."""
+        row2 = jax.lax.broadcasted_iota(jnp.int32, (9, A.shape[-1]), 0)
+        Acur = A
+        cols = []
+        for j in range(9):
+            d = jnp.sqrt(jnp.maximum(Acur[j : j + 1, j, :], 1e-30))  # (1, T)
+            colj = Acur[:, j, :] / d  # (9, T)
+            colj = jnp.where(row2 > j, colj, 0.0)
+            colj = jnp.where(row2 == j, jnp.broadcast_to(d, colj.shape), colj)
+            cols.append(colj)
+            Acur = Acur - colj[:, None, :] * colj[None, :, :]
+        return jnp.stack(cols, axis=1)  # L[i, j] at [i, j, :]
+
+    def _chol_solve9(L, B):
+        """Solve (L L') Y = B for B (9, m, T) given lower L (9, 9, T)."""
+        row2 = jax.lax.broadcasted_iota(jnp.int32, (9, L.shape[-1]), 0)
+        row3 = jax.lax.broadcasted_iota(jnp.int32, B.shape, 0)
+        Y = B
+        for j in range(9):  # forward: L Z = B
+            dj = L[j : j + 1, j, :]  # (1, T)
+            yj = Y[j] / dj  # (m, T)
+            colj = jnp.where(row2 > j, L[:, j, :], 0.0)  # (9, T)
+            Y = Y - colj[:, None, :] * yj[None]
+            Y = jnp.where(row3 == j, jnp.broadcast_to(yj[None], Y.shape), Y)
+        for j in range(8, -1, -1):  # backward: L' Y = Z
+            dj = L[j : j + 1, j, :]
+            yj = Y[j] / dj
+            rowj = jnp.where(row2 < j, L[j, :, :], 0.0)  # (9, T): L[j, k]
+            Y = Y - rowj[:, None, :] * yj[None]
+            Y = jnp.where(row3 == j, jnp.broadcast_to(yj[None], Y.shape), Y)
+        return Y
+
+    _eye9 = jnp.eye(9, dtype=jnp.float32)[None, :, :, None]  # (1, 9, 9, 1)
+
+    def _x_normal_blocks(F, rho4):
+        """M (Hp1, 9, 9, T), U (H, 9, 9, T) of the X normal system
+        (block structure derived in solvers/block_thomas.py)."""
+        cF = jnp.sum(cnt4 * F, axis=1)  # (H, 3, T)
+        c0, c1, c2 = cF[:, 0, :], cF[:, 1, :], cF[:, 2, :]
+        z = jnp.zeros_like(c0)
+        G = dt[:, None, None, :] * jnp.stack(
+            [
+                jnp.stack([z, -c2, c1], axis=1),
+                jnp.stack([c2, z, -c0], axis=1),
+                jnp.stack([-c1, c0, z], axis=1),
+            ],
+            axis=1,
+        )  # (H, 3, 3, T) = dt * skew(cF)
+        Gt = jnp.swapaxes(G, 1, 2)
+        # GtG[i, k] = sum_r G[r, i] G[r, k]; slice-then-broadcast (int+newaxis
+        # mixed indexing lowers to >2D gather, unsupported in Mosaic)
+        GtG = sum(
+            G[:, r : r + 1, :, :].swapaxes(1, 2) * G[:, r : r + 1, :, :]
+            for r in range(3)
+        )
+        I3 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32)[None, :, :, None], G.shape)
+        Z3 = jnp.zeros_like(G)
+        dtI = dt[:, None, None, :] * I3
+        dt2I = (dt * dt)[:, None, None, :] * I3
+
+        def b9(b00, b01, b02, b10, b11, b12, b20, b21, b22):
+            top = jnp.concatenate([b00, b01, b02], axis=2)
+            mid = jnp.concatenate([b10, b11, b12], axis=2)
+            bot = jnp.concatenate([b20, b21, b22], axis=2)
+            return jnp.concatenate([top, mid, bot], axis=1)  # (H, 9, 9, T)
+
+        DtD = b9(I3 + GtG, Z3, Gt, Z3, I3, Z3, G, Z3, I3)
+        EtE = b9(I3, -dtI, Z3, -dtI, I3 + dt2I, Z3, Z3, Z3, I3)
+        DtE = b9(-I3, dtI, -Gt, Z3, -I3, Z3, Z3, Z3, -I3)
+
+        zpad = jnp.zeros_like(DtD[:1])
+        AtA = (
+            jnp.concatenate([DtD, zpad], axis=0)
+            + jnp.concatenate([zpad, EtE], axis=0)
+            + jnp.concatenate(
+                [jnp.broadcast_to(_eye9, zpad.shape), jnp.zeros_like(DtD)], axis=0
+            )
+        )
+        Wdiag = W[:, :, None, :] * _eye9
+        M = 2.0 * Wdiag + 2.0 * rho4[None] * AtA
+        U = 2.0 * rho4[None] * DtE
+        return M, U
+
+    def thomas_x(F, P, rho_k):
+        """Exact X-subproblem minimizer, clipped to the kinematic box."""
+        rho4 = rho_k[0:1].reshape(1, 1, -1)  # (1, 1, T)
+        bf = bf_vec(F)
+        rhs = -qlin + 2.0 * rho4 * af_applyT(F, bf - P)  # (Hp1, 9, T)
+        M, U = _x_normal_blocks(F, rho4)
+        # forward sweep: keep Wk = Ck^{-1} Uk and dk = Ck^{-1} yk per knot
+        Ws, ds = [], []
+        Ck = M[0]
+        yk = rhs[0]
+        for k in range(H + 1):
+            L = _chol9(Ck)
+            if k < H:
+                # solve against [U_k | y_k] in one pass: (9, 10, T)
+                sol = _chol_solve9(
+                    L, jnp.concatenate([U[k], yk[:, None, :]], axis=1)
+                )
+                Wk, dk = sol[:, :9, :], sol[:, 9, :]
+                Ws.append(Wk)
+                ds.append(dk)
+                # C_{k+1} = M_{k+1} - U_k' Wk ; y_{k+1} = rhs_{k+1} - U_k' dk
+                Ck = M[k + 1] - sum(
+                    U[k][j][:, None, :] * Wk[j][None, :, :] for j in range(9)
+                )
+                yk = rhs[k + 1] - sum(U[k][j] * dk[j : j + 1, :] for j in range(9))
+            else:
+                dk = _chol_solve9(L, yk[:, None, :])[:, 0, :]
+                ds.append(dk)
+        # back-substitution
+        xs = [None] * (H + 1)
+        xs[H] = ds[H]
+        for k in range(H - 1, -1, -1):
+            xs[k] = ds[k] - sum(
+                Ws[k][:, j, :] * xs[k + 1][j : j + 1, :] for j in range(9)
+            )
+        X = jnp.stack(xs, axis=0)  # (Hp1, 9, T)
+        return box_project(X)
+
     # ---- the ADMM loop ----
+
+    def _dual_and_mask(i, X_new, F_new, X, F, P, rho_k, viol2, iters, act):
+        """Shared ADMM tail: dual update, convergence masking, rho growth."""
+        v = af_apply(F_new, X_new) - bf_vec(F_new)
+        P_new = P + cfg.dual_relax * v
+        v2 = vnorm2(v)  # (SUB, T)
+
+        a9 = act[0:1].reshape(1, 1, -1)
+        aF = act[0:1].reshape(1, 1, 1, -1)
+        X = a9 * X_new + (1.0 - a9) * X
+        F = aF * F_new + (1.0 - aF) * F
+        P = a9 * P_new + (1.0 - a9) * P
+        viol2 = act * v2 + (1.0 - act) * viol2
+        iters = iters + act
+        good = (viol2 >= cfg.exit_tol * cfg.exit_tol).astype(jnp.float32)
+        not_nan = (viol2 == viol2).astype(jnp.float32)
+        act = act * good * not_nan
+        if cfg.rho_growth != 1.0:
+            # geometric rho escalation + dual rescaling, unconverged lanes only
+            cond_f = jnp.where(
+                jnp.mod(i + 1, cfg.rho_growth_every) == 0, 1.0, 0.0
+            ).astype(jnp.float32)
+            capok = (rho_k * cfg.rho_growth <= cfg.rho * cfg.rho_max_scale).astype(
+                jnp.float32
+            )
+            g = 1.0 + (cfg.rho_growth - 1.0) * cond_f * capok * act
+            rho_k = rho_k * g
+            P = P / g[0:1].reshape(1, 1, -1)
+        return X, F, P, rho_k, viol2, iters, act
 
     def admm_body(i, carry):
         X, F, P, rho_k, viol2, iters, act = carry  # act: 1.0 while unconverged
@@ -307,6 +474,9 @@ def _kernel(
         F_new = fista(F, grad_f, soc_project, D_f)
 
         # X subproblem
+        if cfg.x_solver == "thomas":
+            X_new = thomas_x(F_new, P, rho_k)
+            return _dual_and_mask(i, X_new, F_new, X, F, P, rho_k, viol2, iters, act)
         bf = bf_vec(F_new)
         bPx = P - bf
 
@@ -340,33 +510,7 @@ def _kernel(
         else:
             D_x = power_L(quad_x, X.shape)[0:1].reshape(1, 1, -1)
         X_new = fista(X, grad_x, box_project, D_x)
-
-        v = af_apply(F_new, X_new) - bf_vec(F_new)
-        P_new = P + cfg.dual_relax * v
-        v2 = vnorm2(v)  # (1, T)
-
-        a9 = act[0:1].reshape(1, 1, -1)
-        aF = act[0:1].reshape(1, 1, 1, -1)
-        X = a9 * X_new + (1.0 - a9) * X
-        F = aF * F_new + (1.0 - aF) * F
-        P = a9 * P_new + (1.0 - a9) * P
-        viol2 = act * v2 + (1.0 - act) * viol2
-        iters = iters + act
-        good = (viol2 >= cfg.exit_tol * cfg.exit_tol).astype(jnp.float32)
-        not_nan = (viol2 == viol2).astype(jnp.float32)
-        act = act * good * not_nan
-        if cfg.rho_growth != 1.0:
-            # geometric rho escalation + dual rescaling, unconverged lanes only
-            cond_f = jnp.where(
-                jnp.mod(i + 1, cfg.rho_growth_every) == 0, 1.0, 0.0
-            ).astype(jnp.float32)
-            capok = (rho_k * cfg.rho_growth <= cfg.rho * cfg.rho_max_scale).astype(
-                jnp.float32
-            )
-            g = 1.0 + (cfg.rho_growth - 1.0) * cond_f * capok * act
-            rho_k = rho_k * g
-            P = P / g[0:1].reshape(1, 1, -1)
-        return X, F, P, rho_k, viol2, iters, act
+        return _dual_and_mask(i, X_new, F_new, X, F, P, rho_k, viol2, iters, act)
 
     X0 = X_ref[:]
     F0 = F_ref[:]

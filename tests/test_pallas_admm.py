@@ -100,3 +100,37 @@ def test_pallas_admm_accelerated_converges(problem):
     assert np.all(np.asarray(violp) < cfg.exit_tol)
     assert np.all(np.asarray(res.viol_norm) < cfg.exit_tol)
     np.testing.assert_allclose(np.asarray(Xp), np.asarray(res.X), atol=5e-2)
+
+
+def test_pallas_thomas_matches_xla_thomas(problem):
+    """x_solver="thomas" (exact block-tridiagonal X-solve): the kernel's
+    unrolled lane-layout Cholesky sweep must reproduce the XLA
+    block-Thomas path iterate-for-iterate (both are exact solves, so the
+    agreement is much tighter than the FISTA comparison)."""
+    plan, x_init, W, X_ref, W_F, X_wm, F_wm, bounds = problem
+    cfg = pallas_admm.PallasAdmmConfig(
+        rho=5e4, max_admm_iters=15, interpret=True,
+        dual_relax=1.0, rho_growth=1.0, x_solver="thomas",
+    )
+    Xp, Fp, violp, itersp = pallas_admm.solve(
+        plan, M, x_init, W, X_ref, W_F, X_wm, F_wm, bounds, cfg
+    )
+    res = biconvex.solve(
+        plan,
+        M,
+        jnp.asarray(x_init),
+        biconvex.CostX(W=jnp.asarray(W), X_ref=jnp.asarray(X_ref)),
+        jnp.asarray(W_F),
+        jnp.asarray(X_wm),
+        jnp.asarray(F_wm),
+        jnp.zeros((B, H + 1, 9), jnp.float32),
+        biconvex.BiconvexConfig(
+            rho=5e4, max_admm_iters=15, step_mode="power",
+            dual_relax=1.0, rho_growth=1.0, x_solver="thomas",
+        ),
+    )
+    np.testing.assert_allclose(
+        np.asarray(violp), np.asarray(res.viol_norm), rtol=1e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(Xp), np.asarray(res.X), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Fp), np.asarray(res.F), atol=1e-3)

@@ -290,3 +290,55 @@ def test_dual_rescale_warm_start_consistency(plan):
     res2 = biconvex.solve(plan, M_ROBOT, x_init, cost_x, W_F, res.X, res.F, res.P, accel)
     assert float(res2.viol_norm) < accel.exit_tol
     assert int(res2.admm_iters) < int(res.admm_iters) - 2
+
+
+def test_thomas_x_solve_exact(plan, rng):
+    """block_thomas.solve_x_exact vs dense normal equations (f64)."""
+    from bunmpc_tpu.solvers import block_thomas as bt
+
+    F = jnp.asarray(rng.normal(size=(H, NE, 3)) * 3)
+    W = jnp.asarray(np.abs(rng.normal(size=(H + 1, 9))) + 0.1)
+    rho = 1e4
+    X_ref = jnp.asarray(rng.normal(size=(H + 1, 9)))
+    P = jnp.asarray(rng.normal(size=(H + 1, 9)) * 0.1)
+    x_init = jnp.asarray(rng.normal(size=9))
+    X = np.asarray(bt.solve_x_exact(plan, M_ROBOT, F, W, X_ref, P, rho, x_init))
+    A = cd.af_dense(plan, M_ROBOT, F)
+    Mn = 2 * np.diag(np.asarray(W).ravel()) + 2 * rho * (A.T @ A)
+    b = np.asarray(cd.bf_vec(plan, M_ROBOT, F, x_init))
+    rhs = (
+        2 * np.asarray(W) * np.asarray(X_ref)
+        + 2 * rho * np.asarray(cd.af_applyT(plan, M_ROBOT, F, jnp.asarray(b) - P))
+    ).ravel()
+    want = np.linalg.solve(Mn, rhs).reshape(H + 1, 9)
+    np.testing.assert_allclose(X, want, rtol=1e-8, atol=1e-10)
+
+
+def test_admm_thomas_matches_fista_trajectory(plan):
+    """ADMM with the exact X-solve must land on the same trajectory as the
+    projected-FISTA X-solve (reference semantics) on a convergent window."""
+    x_init = jnp.asarray(np.array([0.0, 0.0, 0.2, 0, 0, 0, 0, 0, 0]))
+    X_ref = np.tile(np.array([0.0, 0.0, 0.2, 0, 0, 0, 0, 0, 0]), (H + 1, 1))
+    W = np.tile(np.array([1e-5, 1e-5, 1e5, 1e1, 1e1, 2e2, 1e4, 1e4, 1e4]), (H + 1, 1))
+    W[-1] = 10 * np.array([1e5, 1e-5, 1e5, 1e1, 1e1, 2e2, 1e5, 1e5, 1e5])
+    cost_x = biconvex.CostX(W=jnp.asarray(W), X_ref=jnp.asarray(X_ref))
+    W_F = jnp.full((H, NE, 3), 1e1)
+    X_wm = jnp.tile(x_init, (H + 1, 1))
+    F_wm = jnp.zeros((H, NE, 3))
+    P_wm = jnp.zeros((H + 1, 9))
+    res = {}
+    for xs in ("fista", "thomas"):
+        cfg = biconvex.BiconvexConfig(rho=5e4, x_solver=xs)
+        res[xs] = biconvex.solve(
+            plan, M_ROBOT, x_init, cost_x, W_F, X_wm, F_wm, P_wm, cfg
+        )
+        assert float(res[xs].viol_norm) < cfg.exit_tol
+    # both converge to viol < 1e-3 but the minimizer is only determined to
+    # ~1e-2 in the weakly-weighted (W=1e-5) coordinates at that tolerance
+    np.testing.assert_allclose(
+        np.asarray(res["thomas"].X), np.asarray(res["fista"].X), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["thomas"].F), np.asarray(res["fista"].F), atol=2e-1
+    )
+    assert int(res["thomas"].admm_iters) <= int(res["fista"].admm_iters) + 2
