@@ -53,19 +53,24 @@ def main():
     # ~30 outer iters instead of the 100-iteration cap, conv@1e-3 = 1.00)
     on_tpu = jax.devices()[0].platform == "tpu"
     backend = "pallas" if on_tpu else "xla"
-    accel = dict(dual_relax=1.8, rho_growth=3.0, rho_growth_every=10, rho_max_scale=27.0)
+    # Defaults carry the accelerated outer schedule (dual over-relaxation +
+    # rho escalation w/ divergence backoff, default-on since round 3).
     # x_solver="thomas": exact block-tridiagonal X-subproblem solve (one
     # ~H-step Cholesky sweep instead of <=150 FISTA iterations per ADMM
     # iteration; solvers/block_thomas.py) — measured +18% end-to-end at
-    # B=512 (3688 -> 4368 solves/s, same trajectories, conv@1e-3 = 1.0)
+    # B=512 (3688 -> 4368 solves/s, same trajectories, conv@1e-3 = 1.0).
+    # fista_max_iters=30 caps the remaining F-subproblem FISTA: validated
+    # conv@1e-3 = 1.0 across the B=512 Solo12 command envelope with
+    # trajectory drift within the ADMM's own solution tolerance (~1e-2);
+    # heavier robots keep the 150 default.
     if on_tpu:
         from bunmpc_tpu.solvers.pallas_admm import PallasAdmmConfig
 
-        admm_cfg = PallasAdmmConfig(rho=trot.rho, x_solver="thomas", **accel)
+        admm_cfg = PallasAdmmConfig(rho=trot.rho, x_solver="thomas", fista_max_iters=30)
     else:
         from bunmpc_tpu.solvers.biconvex import BiconvexConfig
 
-        admm_cfg = BiconvexConfig(rho=trot.rho, x_solver="thomas", **accel)
+        admm_cfg = BiconvexConfig(rho=trot.rho, x_solver="thomas", fista_max_iters=30)
     solve = jax.jit(
         lambda q, v, t, vd, wd: KD.solve_mpc_batch(
             spec, q, v, t, vd, wd, admm_cfg=admm_cfg,

@@ -165,7 +165,7 @@ def solve_acyclic_mpc(
     H, ik_h = spec.horizon, spec.ik_hor
     dt_arr = jnp.asarray(spec.dt_arr, dtype)
     if admm_cfg is None:
-        admm_cfg = biconvex.BiconvexConfig(rho=p.rho)
+        admm_cfg = biconvex.BiconvexConfig(rho=p.rho, x_solver="thomas")
 
     # knot times (reference: ft advances by dt_arr from t - dt0; :86-88)
     knot_t = jnp.round(t - dt_arr[0] + jnp.cumsum(dt_arr), 3)

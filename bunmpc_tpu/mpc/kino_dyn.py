@@ -354,7 +354,7 @@ def solve_mpc(
     Default is the reference's cold start (kino_dyn.cpp:83-99)."""
     p = spec.params
     if admm_cfg is None:
-        admm_cfg = biconvex.BiconvexConfig(rho=p.rho)
+        admm_cfg = biconvex.BiconvexConfig(rho=p.rho, x_solver="thomas")
     prob = _prepare_problem(
         spec, q, v, t, v_des, w_des, noise_xy=noise_xy, terrain=terrain,
         warm_start=None if warm_start is None else warm_start[:2],
@@ -413,7 +413,7 @@ def solve_mpc_batch(
     )
     if admm_backend == "pallas":
         if admm_cfg is None:
-            admm_cfg = pallas_admm.PallasAdmmConfig(rho=p.rho)
+            admm_cfg = pallas_admm.PallasAdmmConfig(rho=p.rho, x_solver="thomas")
         X, F, viol, iters = pallas_admm.solve(
             prob["plan"],
             spec.model.total_mass,
@@ -429,7 +429,7 @@ def solve_mpc_batch(
         P = jnp.zeros_like(X)  # dual stays VMEM-internal in the kernel
     else:
         if admm_cfg is None:
-            admm_cfg = biconvex.BiconvexConfig(rho=p.rho)
+            admm_cfg = biconvex.BiconvexConfig(rho=p.rho, x_solver="thomas")
         H = spec.horizon
         dyn = biconvex.solve(
             prob["plan"],

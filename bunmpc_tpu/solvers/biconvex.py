@@ -53,29 +53,40 @@ class BiconvexConfig:
     # iteration caps; the conditioning is in the temporal-chain off-diagonal,
     # not the diagonal), so default OFF to keep scalar-step trajectory parity.
     precondition: bool = False
-    # Outer-loop acceleration (round-2): dual over-relaxation P += alpha*viol
-    # and geometric rho escalation with dual rescaling (P /= growth when
-    # rho *= growth; the scaled dual P ~ y/rho). Same constrained fixed point,
-    # same exit_tol — it is simply reached in ~2.5x fewer outer iterations
-    # with a ~30x smaller final violation (scripts/diagnose_admm.py A/B:
-    # baseline never reaches 1e-3 in 100 iters, viol 1.9e-3; alpha=1.8 +
-    # rho x3@10 reaches it by ~iter 30). Validated for Solo12-class QPs
-    # (bench.py opts in: alpha=1.8, growth=3@10 cap 27); on the 6x-heavier
-    # Go2 the escalated rho exceeds what the capped inner FISTA can solve
-    # and the loop diverges — hence REFERENCE defaults (1.0/1.0) here.
-    # Round-3 item: stall-gated growth with a divergence backoff.
-    dual_relax: float = 1.0
-    rho_growth: float = 1.0
+    # Outer-loop acceleration (round-2, DEFAULT-ON since round 3): dual
+    # over-relaxation P += alpha*viol and geometric rho escalation with dual
+    # rescaling (P /= growth when rho *= growth; the scaled dual P ~ y/rho).
+    # Same constrained fixed point, same exit_tol — reached in ~2.5x fewer
+    # outer iterations. The round-2 Go2 divergence (fixed escalation
+    # outrunning the capped inner FISTA) is gone with the exact
+    # x_solver="thomas" X-solve + the divergence backoff below; measured
+    # round-3 (TPU, B=512 Solo12 / B=128 Go2 random commands): Solo12
+    # conv@1e-3 = 1.00 @ ~29 iters, Go2 conv@1e-3 = 0.93+ with
+    # max_admm_iters=200. Reference schedule = dual_relax=1, rho_growth=1
+    # (parity tests pin that).
+    dual_relax: float = 1.8
+    rho_growth: float = 3.0
     rho_growth_every: int = 10
-    rho_max_scale: float = 27.0  # cap: rho <= rho * rho_max_scale
-    # X-subproblem backend: "fista" = the reference's projected FISTA
-    # (biconvex.cpp:90-96); "thomas" = EXACT block-tridiagonal solve
-    # (solvers/block_thomas.py) + clip to the kinematic box. The normal
-    # matrix is block tridiagonal in the knot index, so one ~H-step
-    # Cholesky sweep replaces up to 150 capped FISTA iterations — exact
-    # whenever the (+-0.45 m) CoM box is inactive, which is the nominal
-    # gait regime.
-    x_solver: str = "fista"
+    rho_max_scale: float = 81.0  # cap: rho <= rho * rho_max_scale
+    # Stall-gated escalation + divergence backoff (round-3; mirrors
+    # pallas_admm.PallasAdmmConfig): at each growth check a lane escalates
+    # only if its violation failed to improve by rho_stall_improve since
+    # the last check, and de-escalates one step if it GREW by more than
+    # rho_backoff_thresh. Makes the accelerated schedule self-limiting on
+    # robots where fixed-cadence escalation outruns the inner solves.
+    rho_stall_gate: bool = True
+    rho_stall_improve: float = 0.0  # 0 = always escalate on cadence unless diverged
+    rho_backoff_thresh: float = 2.0
+    # X-subproblem backend: "thomas" (DEFAULT) = EXACT block-tridiagonal
+    # solve (solvers/block_thomas.py) + clip to the kinematic box — the
+    # normal matrix is block tridiagonal in the knot index, so one ~H-step
+    # Cholesky sweep replaces up to 150 capped FISTA iterations (exact
+    # whenever the (+-0.45 m) CoM box is inactive, the nominal gait
+    # regime), and is what makes the accelerated schedule above safe on
+    # heavy robots. "fista" = the reference's projected FISTA
+    # (biconvex.cpp:90-96); iterate-level parity tests against the native
+    # C++ twin pin it.
+    x_solver: str = "thomas"
 
     def fista_cfg(self, soc: bool):
         return fista.FistaConfig(
@@ -259,7 +270,7 @@ def solve(
         return jnp.logical_and(~jnp.all(done), it < cfg.max_admm_iters)
 
     def body(carry):
-        X, F, P, rho_k, L_x, L_f, viol_n, iters, hist, it, done = carry
+        X, F, P, rho_k, L_x, L_f, viol_n, viol_chk, iters, hist, it, done = carry
         F_new, L_f_new = solve_f(X, F, P, L_f, rho_k)
         X_new, L_x_new = solve_x(F_new, X, P, L_x, rho_k)
         v, vn = violation(F_new, X_new)
@@ -281,12 +292,26 @@ def solve(
         done = done | (vn < cfg.exit_tol) | jnp.isnan(vn)
         # geometric rho escalation with dual rescaling (unconverged only)
         if cfg.rho_growth != 1.0:
-            grow = (jnp.mod(it + 1, cfg.rho_growth_every) == 0) & ~done
-            grow = grow & (rho_k * cfg.rho_growth <= cfg.rho * cfg.rho_max_scale)
-            g = jnp.where(grow, cfg.rho_growth, 1.0).astype(x_init.dtype)
+            at_check = (jnp.mod(it + 1, cfg.rho_growth_every) == 0) & ~done
+            capok = rho_k * cfg.rho_growth <= cfg.rho * cfg.rho_max_scale
+            if cfg.rho_stall_gate:
+                stalled = viol_n > cfg.rho_stall_improve * viol_chk
+                diverged = viol_n > cfg.rho_backoff_thresh * viol_chk
+                flook = rho_k >= cfg.rho * cfg.rho_growth * 0.999
+                grow = at_check & stalled & ~diverged & capok
+                back = at_check & diverged & flook
+                g = jnp.where(grow, cfg.rho_growth, 1.0)
+                g = jnp.where(back, 1.0 / cfg.rho_growth, g).astype(x_init.dtype)
+                viol_chk = jnp.where(at_check, vn, viol_chk)
+            else:
+                g = jnp.where(at_check & capok, cfg.rho_growth, 1.0).astype(
+                    x_init.dtype
+                )
             rho_k = rho_k * g
             P = P / g[..., None, None]
-        return X, F, P, rho_k, L_x, L_f, viol_n, iters, hist, it + 1, done
+        # seed the stall checkpoint with the first measured violation
+        viol_chk = jnp.where(it == 0, vn, viol_chk)
+        return X, F, P, rho_k, L_x, L_f, viol_n, viol_chk, iters, hist, it + 1, done
 
     L_x0 = jnp.full(batch_shape, cfg.L0_x, x_init.dtype)
     L_f0 = jnp.full(batch_shape, cfg.L0_f, x_init.dtype)
@@ -296,10 +321,10 @@ def solve(
     rho0 = jnp.full(batch_shape, cfg.rho, x_init.dtype)
 
     carry = (
-        X_wm, F_wm, P_wm, rho0, L_x0, L_f0, viol0, iters0, hist0,
+        X_wm, F_wm, P_wm, rho0, L_x0, L_f0, viol0, viol0, iters0, hist0,
         jnp.zeros((), jnp.int32), done0,
     )
-    X, F, P, rho_k, _, _, viol_n, iters, hist, _, _ = jax.lax.while_loop(cond, body, carry)
+    X, F, P, rho_k, _, _, viol_n, _, iters, hist, _, _ = jax.lax.while_loop(cond, body, carry)
     # The loop's P is the *scaled* dual y/rho_k relative to the (possibly
     # escalated) final rho_k. Warm-start consumers restart a fresh solve at the
     # base cfg.rho, so rescale to keep the implied dual y = P*rho consistent

@@ -50,20 +50,31 @@ class PallasAdmmConfig:
     # biconvex.BiconvexConfig.precondition. Measured perf-neutral here
     # (scripts/ab_precondition.py: 1.00x, caps dominate), default OFF.
     precondition: bool = False
-    # Outer-loop acceleration (mirrors biconvex.BiconvexConfig): dual
-    # over-relaxation + geometric rho escalation with dual rescaling. Same
-    # fixed point and exit_tol, reached in ~2.5x fewer outer iterations.
-    dual_relax: float = 1.0
-    rho_growth: float = 1.0
+    # Outer-loop acceleration (mirrors biconvex.BiconvexConfig; DEFAULT-ON
+    # since round 3 — see the rationale there): dual over-relaxation +
+    # geometric rho escalation with dual rescaling + divergence backoff.
+    dual_relax: float = 1.8
+    rho_growth: float = 3.0
     rho_growth_every: int = 10
-    rho_max_scale: float = 27.0
+    rho_max_scale: float = 81.0
+    # Stall-gated escalation + divergence backoff (round-3, makes the
+    # accelerated schedule safe to default-on across robots): at each
+    # growth check, a lane only escalates rho if its violation failed to
+    # improve by rho_stall_improve since the last check, and a lane whose
+    # violation GREW by more than rho_backoff_thresh de-escalates one step
+    # (dual rescaled both ways). With rho_stall_gate=False the growth is
+    # the round-2 fixed cadence.
+    rho_stall_gate: bool = True
+    rho_stall_improve: float = 0.0  # 0 = always escalate on cadence unless diverged
+    rho_backoff_thresh: float = 2.0
     # X-subproblem backend (mirrors biconvex.BiconvexConfig.x_solver):
-    # "fista" = projected FISTA (reference biconvex.cpp:90-96); "thomas" =
-    # EXACT block-tridiagonal normal-equation solve (block-Thomas sweep of
-    # 9x9 Cholesky blocks, see solvers/block_thomas.py for the derivation)
-    # + clip to the kinematic box. Replaces up to 150 sequential FISTA
-    # iterations AND the X power iteration with one ~H-step sweep.
-    x_solver: str = "fista"
+    # "thomas" (DEFAULT) = EXACT block-tridiagonal normal-equation solve
+    # (block-Thomas sweep of 9x9 Cholesky blocks, see solvers/
+    # block_thomas.py) + clip to the kinematic box — replaces up to 150
+    # sequential FISTA iterations AND the X power iteration with one
+    # ~H-step sweep; "fista" = projected FISTA (reference
+    # biconvex.cpp:90-96), pinned by iterate-level parity tests.
+    x_solver: str = "thomas"
     interpret: bool = False  # CPU interpreter mode (tests)
 
 
@@ -414,8 +425,8 @@ def _kernel(
 
     # ---- the ADMM loop ----
 
-    def _dual_and_mask(i, X_new, F_new, X, F, P, rho_k, viol2, iters, act):
-        """Shared ADMM tail: dual update, convergence masking, rho growth."""
+    def _dual_and_mask(i, X_new, F_new, X, F, P, rho_k, viol2, viol2_chk, iters, act):
+        """Shared ADMM tail: dual update, convergence masking, rho schedule."""
         v = af_apply(F_new, X_new) - bf_vec(F_new)
         P_new = P + cfg.dual_relax * v
         v2 = vnorm2(v)  # (SUB, T)
@@ -438,13 +449,33 @@ def _kernel(
             capok = (rho_k * cfg.rho_growth <= cfg.rho * cfg.rho_max_scale).astype(
                 jnp.float32
             )
-            g = 1.0 + (cfg.rho_growth - 1.0) * cond_f * capok * act
+            if cfg.rho_stall_gate:
+                si = cfg.rho_stall_improve
+                bt = cfg.rho_backoff_thresh
+                stalled = (viol2 > si * si * viol2_chk).astype(jnp.float32)
+                diverged = (viol2 > bt * bt * viol2_chk).astype(jnp.float32)
+                flook = (rho_k >= cfg.rho * cfg.rho_growth * 0.999).astype(
+                    jnp.float32
+                )
+                grow = cond_f * act * stalled * (1.0 - diverged) * capok
+                back = cond_f * act * diverged * flook
+                g = (1.0 + (cfg.rho_growth - 1.0) * grow) * (
+                    1.0 + (1.0 / cfg.rho_growth - 1.0) * back
+                )
+                # refresh the per-lane checkpoint at every check
+                viol2_chk = cond_f * viol2 + (1.0 - cond_f) * viol2_chk
+            else:
+                g = 1.0 + (cfg.rho_growth - 1.0) * cond_f * capok * act
             rho_k = rho_k * g
             P = P / g[0:1].reshape(1, 1, -1)
-        return X, F, P, rho_k, viol2, iters, act
+        # seed the stall checkpoint with the first measured violation
+        first = jnp.where(i == 0, 1.0, 0.0).astype(jnp.float32)
+        viol2_chk = jnp.minimum(viol2_chk, viol2) * first + viol2_chk * (1.0 - first)
+        return X, F, P, rho_k, viol2, viol2_chk, iters, act
 
     def admm_body(i, carry):
-        X, F, P, rho_k, viol2, iters, act = carry  # act: 1.0 while unconverged
+        # act: 1.0 while unconverged
+        X, F, P, rho_k, viol2, viol2_chk, iters, act = carry
         rho_f4 = rho_k[0:1].reshape(1, 1, 1, -1)  # F-space broadcast
         rho_x3 = rho_k[0:1].reshape(1, 1, -1)  # X-space broadcast
 
@@ -476,7 +507,9 @@ def _kernel(
         # X subproblem
         if cfg.x_solver == "thomas":
             X_new = thomas_x(F_new, P, rho_k)
-            return _dual_and_mask(i, X_new, F_new, X, F, P, rho_k, viol2, iters, act)
+            return _dual_and_mask(
+                i, X_new, F_new, X, F, P, rho_k, viol2, viol2_chk, iters, act
+            )
         bf = bf_vec(F_new)
         bPx = P - bf
 
@@ -510,7 +543,9 @@ def _kernel(
         else:
             D_x = power_L(quad_x, X.shape)[0:1].reshape(1, 1, -1)
         X_new = fista(X, grad_x, box_project, D_x)
-        return _dual_and_mask(i, X_new, F_new, X, F, P, rho_k, viol2, iters, act)
+        return _dual_and_mask(
+            i, X_new, F_new, X, F, P, rho_k, viol2, viol2_chk, iters, act
+        )
 
     X0 = X_ref[:]
     F0 = F_ref[:]
@@ -529,8 +564,9 @@ def _kernel(
         out = admm_body(i, carry[1:])
         return (i + 1,) + out
 
-    _, X, F, P, _, viol2, iters, _ = jax.lax.while_loop(
-        admm_cond, admm_wbody, (jnp.int32(0), X0, F0, P0, rho0, viol0, it0, act0)
+    chk0 = anchored(jnp.full((SUB, X0.shape[-1]), 3.0e38, jnp.float32))
+    _, X, F, P, _, viol2, _, iters, _ = jax.lax.while_loop(
+        admm_cond, admm_wbody, (jnp.int32(0), X0, F0, P0, rho0, viol0, chk0, it0, act0)
     )
     X_ref[:] = X
     F_ref[:] = F

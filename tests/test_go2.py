@@ -78,3 +78,45 @@ def test_go2_trot_mpc_solve(model):
     fz_mean = (cnt * F[..., 2]).sum(-1).mean()
     # vertical force supports the 15 kg robot on average
     assert abs(fz_mean - 15.097 * 9.81) < 40.0
+
+
+def test_default_schedule_converges_solo12_and_go2(model):
+    """Round-3 'safe accelerated ADMM default-on' acceptance: the DEFAULT
+    solver config (accelerated schedule + divergence backoff + exact
+    X-solve, no per-robot opt-in) must reach the reference's 1e-3 exit tol
+    on nominal trot windows of BOTH Solo12 and the 6x-heavier Go2 (which
+    diverged under the round-2 fixed-cadence escalation)."""
+    from bunmpc_tpu.mpc.motions.solo12_cyclic import trot as solo_trot
+    from bunmpc_tpu.robots.solo12 import Solo12Config
+
+    cases = []
+    solo_model = Solo12Config.load_model()
+    cases.append(
+        ("solo12", KD.make_cyclic_spec(solo_model, solo_trot, Solo12Config.q0()),
+         Solo12Config.q0())
+    )
+    cases.append(
+        ("go2", KD.make_cyclic_spec(
+            model, go2_trot, Go2Config.q0(),
+            eff_frames=tuple(Go2Config.eff_names),
+            hip_frames=tuple(Go2Config.hip_names),
+            foot_size=Go2Config.foot_size), Go2Config.q0())
+    )
+    for name, spec, q0 in cases:
+        q = jnp.asarray(q0, jnp.float32)
+        v = jnp.zeros(18, jnp.float32)
+        vd = jnp.asarray([0.3, 0.0, 0.0], jnp.float32)
+        cfg = biconvex.BiconvexConfig(rho=spec.params.rho, x_solver="thomas")
+        for tt in (0.0, 0.07):
+            pr = KD._prepare_problem(
+                spec, q, v, jnp.asarray(tt, jnp.float32), vd,
+                jnp.asarray(0.0, jnp.float32),
+            )
+            res = biconvex.solve(
+                pr["plan"], spec.model.total_mass, pr["x_init"],
+                biconvex.CostX(W=pr["W"], X_ref=pr["X_ref"]), pr["W_F"],
+                pr["X_wm"], pr["F_wm"],
+                jnp.zeros((spec.horizon + 1, 9), jnp.float32), cfg,
+                x_bounds=pr["x_bounds"],
+            )
+            assert float(res.viol_norm) < cfg.exit_tol, (name, tt)

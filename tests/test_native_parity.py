@@ -88,7 +88,7 @@ def test_admm_solve_parity(problem):
     plan = cd.ContactPlan(cnt=jnp.asarray(cnt), r=jnp.asarray(r), dt=jnp.asarray(dts))
     # reference schedule (the C++ golden implements plain dual ascent)
     cfg = biconvex.BiconvexConfig(
-        rho=5e4, step_mode="linesearch", dual_relax=1.0, rho_growth=1.0
+        rho=5e4, step_mode="linesearch", dual_relax=1.0, rho_growth=1.0, x_solver="fista"
     )
     res = biconvex.solve(
         plan,
@@ -121,7 +121,7 @@ def test_admm_solve_parity(problem):
         jnp.asarray(F_wm),
         jnp.zeros((H + 1, 9)),
         biconvex.BiconvexConfig(
-            rho=5e4, step_mode="power", dual_relax=1.0, rho_growth=1.0
+            rho=5e4, step_mode="power", dual_relax=1.0, rho_growth=1.0, x_solver="fista"
         ),
     )
     np.testing.assert_allclose(np.asarray(res2.X), Xn.reshape(H + 1, 9), atol=2e-3)

@@ -42,7 +42,7 @@ def test_pallas_admm_matches_xla(problem):
     # magnifies tiny f32 ordering differences through the escalated rho)
     cfg = pallas_admm.PallasAdmmConfig(
         rho=5e4, max_admm_iters=60, fista_max_iters=120, interpret=True,
-        dual_relax=1.0, rho_growth=1.0,
+        dual_relax=1.0, rho_growth=1.0, x_solver="fista",
     )
     Xp, Fp, violp, itersp = pallas_admm.solve(
         plan, M, x_init, W, X_ref, W_F, X_wm, F_wm, bounds, cfg
@@ -50,7 +50,7 @@ def test_pallas_admm_matches_xla(problem):
 
     xla_cfg = biconvex.BiconvexConfig(
         rho=5e4, max_admm_iters=60, fista_max_iters=120, step_mode="power",
-        dual_relax=1.0, rho_growth=1.0,
+        dual_relax=1.0, rho_growth=1.0, x_solver="fista",
     )
     res = biconvex.solve(
         plan,

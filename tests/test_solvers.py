@@ -280,7 +280,8 @@ def test_dual_rescale_warm_start_consistency(plan):
     F_wm = jnp.zeros((H, NE, 3))
     P_wm = jnp.zeros((H + 1, 9))
     accel = biconvex.BiconvexConfig(
-        rho=5e4, dual_relax=1.8, rho_growth=3.0, rho_growth_every=5
+        rho=5e4, dual_relax=1.8, rho_growth=3.0, rho_growth_every=5,
+        x_solver="fista",
     )
     res = biconvex.solve(plan, M_ROBOT, x_init, cost_x, W_F, X_wm, F_wm, P_wm, accel)
     assert float(res.viol_norm) < accel.exit_tol
