@@ -16,7 +16,10 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(__file__)
-_SRC = os.path.join(_DIR, "src", "bunmpc_native.cpp")
+_SRCS = [
+    os.path.join(_DIR, "src", "bunmpc_native.cpp"),
+    os.path.join(_DIR, "src", "bunmpc_ik.cpp"),
+]
 _LIB = os.path.join(_DIR, "libbunmpc_native.so")
 
 _lib = None
@@ -31,9 +34,9 @@ def build(force: bool = False) -> str:
     if (
         force
         or not os.path.exists(_LIB)
-        or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        or any(os.path.getmtime(_LIB) < os.path.getmtime(src) for src in _SRCS)
     ):
-        cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB]
+        cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", *_SRCS, "-o", _LIB]
         subprocess.run(cmd, check=True, capture_output=True)
     return _LIB
 
@@ -198,3 +201,129 @@ def gait_contact_plan(t, dt, horizon, period, offsets, stance_percent):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
     return out
+
+
+# --- kinematic GN-DDP IK twin + chained kino-dyn solve (bunmpc_ik.cpp) ---
+
+
+def _iptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def _model_args(model, eff_frames):
+    """Flatten a robots.model.RobotModel into the C-ABI argument tuple."""
+    parent = np.ascontiguousarray(model.parent, dtype=np.int32)
+    jrot = _as64(model.joint_rot)
+    jpos = _as64(model.joint_pos)
+    axis = _as64(model.axis)
+    mass = _as64(model.mass)
+    bcom = _as64(model.com)
+    inertia = _as64(model.inertia)
+    eff_body = np.ascontiguousarray(
+        [model.frames[n].body for n in eff_frames], dtype=np.int32
+    )
+    eff_pos = _as64(np.stack([model.frames[n].pos for n in eff_frames]))
+    keep = (parent, jrot, jpos, axis, mass, bcom, inertia, eff_body, eff_pos)
+    args = (
+        ctypes.c_int(model.n_joints), _iptr(parent), _dptr(jrot), _dptr(jpos),
+        _dptr(axis), _dptr(mass), _dptr(bcom), _dptr(inertia),
+        ctypes.c_int(len(eff_frames)), _iptr(eff_body), _dptr(eff_pos),
+    )
+    return args, keep
+
+
+def centroidal_state(model, eff_frames, q, v):
+    """(com, h(6), ee (ne,3)) — golden twin of kin.centroidal_state_and_frames."""
+    lib = load()
+    margs, keep = _model_args(model, eff_frames)
+    com = np.zeros(3)
+    h = np.zeros(6)
+    ee = np.zeros((len(eff_frames), 3))
+    lib.bunmpc_centroidal_state(
+        *margs, _dptr(_as64(q)), _dptr(_as64(v)), _dptr(com), _dptr(h), _dptr(ee)
+    )
+    return com, h, ee
+
+
+def ik_solve(
+    model, eff_frames, x0, dts, ee_targets, ee_wts, com_ref, mom_ref,
+    com_wt, mom_wt, w_sd, x_reg, ctrl_w,
+    n_iters=6, alphas=(1.0, 0.7, 0.3, 0.1, 0.03), reg=1e-9,
+):
+    """Kinematic GN-DDP solve (FD-Jacobian golden twin of mpc/ik.solve_ik).
+
+    ``w_sd`` (H+1, 2nv) and ``ctrl_w`` (H, nv) are the fully-scaled dense
+    weights (ik.dense_weights layout: reg_wt * state_wt / reg_wt * ctrl_wt).
+    """
+    lib = load()
+    margs, keep = _model_args(model, eff_frames)
+    H = len(dts)
+    nx = model.nq + model.nv
+    xs = np.zeros((H + 1, nx))
+    us = np.zeros((H, model.nv))
+    cost = ctypes.c_double()
+    al = _as64(alphas)
+    lib.bunmpc_ik_solve(
+        *margs,
+        ctypes.c_int(H), _dptr(_as64(dts)), _dptr(_as64(ee_targets)),
+        _dptr(_as64(ee_wts)), _dptr(_as64(com_ref)), _dptr(_as64(mom_ref)),
+        ctypes.c_double(float(com_wt)), ctypes.c_double(float(mom_wt)),
+        _dptr(_as64(w_sd)), _dptr(_as64(x_reg)), _dptr(_as64(ctrl_w)),
+        ctypes.c_int(n_iters), _dptr(al), ctypes.c_int(len(al)),
+        ctypes.c_double(reg),
+        _dptr(_as64(x0)), _dptr(xs), _dptr(us), ctypes.byref(cost),
+    )
+    return xs, us, cost.value
+
+
+def kinodyn_solve(
+    model, eff_frames, m_total,
+    # dynamics problem
+    cnt, r, dts, x_init, W, X_ref, W_F, rho, X_wm, F_wm,
+    # IK problem (com/mom refs come from the ADMM solution)
+    ik_dts, ee_targets, ee_wts, com_wt, mom_wt, w_sd, x_reg, ctrl_w, x0,
+    max_admm=100, fista_max_iters=150, fista_tol=1e-5, exit_tol=1e-3,
+    beta=1.5, L0_x=2.25e6, L0_f=506.25, mu=1.0, x_bounds=None,
+    n_iters=6, alphas=(1.0, 0.7, 0.3, 0.1, 0.03), reg=1e-9,
+):
+    """Full native kino-dynamic solve: ADMM -> IK (reference
+    KinoDynMP::optimize, kino_dyn.cpp:39-58)."""
+    lib = load()
+    margs, keep = _model_args(model, eff_frames)
+    H, ne = np.asarray(cnt).shape
+    ik_h = len(ik_dts)
+    nx = model.nq + model.nv
+    X = _as64(X_wm).copy()
+    F = _as64(F_wm).copy()
+    xs = np.zeros((ik_h + 1, nx))
+    us = np.zeros((ik_h, model.nv))
+    viol = ctypes.c_double()
+    iters = ctypes.c_int()
+    cost = ctypes.c_double()
+    lb = ub = None
+    if x_bounds is not None:
+        lb = _as64(np.clip(x_bounds[0], -1e30, 1e30))
+        ub = _as64(np.clip(x_bounds[1], -1e30, 1e30))
+    al = _as64(alphas)
+    lib.bunmpc_kinodyn_solve(
+        *margs, ctypes.c_double(float(m_total)),
+        ctypes.c_int(H), _dptr(_as64(cnt)), _dptr(_as64(r)), _dptr(_as64(dts)),
+        _dptr(_as64(x_init)), _dptr(_as64(W)), _dptr(_as64(X_ref)),
+        _dptr(_as64(W_F)), ctypes.c_double(float(rho)), ctypes.c_int(max_admm),
+        ctypes.c_int(fista_max_iters), ctypes.c_double(fista_tol),
+        ctypes.c_double(exit_tol), ctypes.c_double(beta),
+        ctypes.c_double(L0_x), ctypes.c_double(L0_f), ctypes.c_double(mu),
+        _dptr(lb) if lb is not None else None,
+        _dptr(ub) if ub is not None else None,
+        ctypes.c_int(ik_h), _dptr(_as64(ik_dts)), _dptr(_as64(ee_targets)),
+        _dptr(_as64(ee_wts)), ctypes.c_double(float(com_wt)),
+        ctypes.c_double(float(mom_wt)), _dptr(_as64(w_sd)),
+        _dptr(_as64(x_reg)), _dptr(_as64(ctrl_w)),
+        ctypes.c_int(n_iters), _dptr(al), ctypes.c_int(len(al)),
+        ctypes.c_double(reg),
+        _dptr(_as64(x0)), _dptr(X), _dptr(F),
+        ctypes.byref(viol), ctypes.byref(iters),
+        _dptr(xs), _dptr(us), ctypes.byref(cost),
+    )
+    return dict(X=X, F=F, viol=viol.value, admm_iters=iters.value,
+                xs=xs, us=us, ik_cost=cost.value)

@@ -12,8 +12,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("BUNMPC_TPU_TESTS"):
+    # opt-in: run the TPU-gated tests compiled on the real chip (keeps the
+    # sitecustomize platform list; product path is f32 so x64 stays off).
+    # Serialize with any other TPU process — one owner per chip.
+    jax.config.update("jax_enable_x64", False)
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: the suite is compile-bound (dozens of large
 # jitted programs); warm runs skip straight to execution.
