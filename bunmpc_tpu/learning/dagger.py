@@ -288,21 +288,56 @@ class SafeDagger(_IterativeDriver):
         return jax.jit(jax.vmap(one))
 
 
+def weighted_vc_error(states, fail_step, failed, v_des, w_des):
+    """Weighted velocity-tracking error of a rollout batch, exactly the
+    reference's formula (locosafedagger_modified.py:566-585):
+
+        e = 0.4 * vx_mse^2 + 0.3 * vy_mse^2 + 0.3 * w_mse^2
+
+    with the component MSEs from ``compute_vc_mse`` (utils.py:221-237) over
+    the base-local velocity rows of the state featurization — state[:, 0:2]
+    are (vx, vy) and state[:, 5] is the yaw rate, the same rows the reference
+    reads (it measures in the local frame too; the round-2 driver used only
+    vx/vy, advisor finding). Failed episodes count their surviving prefix."""
+    states = np.asarray(states)
+    B, T = states.shape[0], states.shape[1]
+    fail_step = np.asarray(fail_step)
+    failed = np.asarray(failed)
+    errs = []
+    for b in range(B):
+        Tb = int(fail_step[b]) if bool(failed[b]) else T
+        if Tb < 2:
+            errs.append(np.inf)
+            continue
+        vx_e, vy_e, w_e = GU.compute_vc_mse(
+            np.asarray(v_des), float(w_des), states[b, :Tb, 0:2], states[b, :Tb, 5]
+        )
+        errs.append(0.4 * vx_e**2 + 0.3 * vy_e**2 + 0.3 * w_e**2)
+    return float(np.mean(errs))
+
+
 class LocoSafeDagger(_IterativeDriver):
-    """SafeDAgger + Bayesian goal-distribution update (reference
-    locosafedagger_modified.py:62-627): each iteration samples its training
-    goal from a posterior over the velocity grid, updated with a Gaussian
-    likelihood at the attempted goal; the rollout whose velocity-tracking
-    error is smaller (MPC vs policy) is the one aggregated (:560-605)."""
+    """LocoSafeDagger (reference locosafedagger_modified.py:62-627,
+    run_unperturbed :449-617): each iteration samples its training goal from
+    a Bayesian posterior over the velocity grid, rolls out BOTH the MPC
+    expert and the current policy for that goal, computes the weighted
+    vx/vy/w tracking error of each, aggregates whichever rollout tracked
+    better (:586-605), and updates the posterior with a Gaussian likelihood
+    centered at the attempted goal (:357-384; the reference's error argument
+    is dropped by an argument-order bug in its own call site — here the
+    error-scaled-likelihood extension is opt-in via
+    ``error_scaled_likelihood``, off by default to match the effective
+    reference behavior)."""
 
     mode = "locosafedagger"
 
-    def __init__(self, *args, grid_n: int = 30, **kwargs):
+    def __init__(self, *args, grid_n: int = 30, error_scaled_likelihood: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.grid = bayes.GoalGrid.make(
             self.cfg.vx_range, self.cfg.vy_range, self.cfg.w_range, n=grid_n
         )
         self.posterior = self.grid.uniform_prior()
+        self.error_scaled_likelihood = error_scaled_likelihood
         self._policy_rollout = None
 
     def _extra_state(self):
@@ -312,17 +347,27 @@ class LocoSafeDagger(_IterativeDriver):
         if "posterior" in z.files:
             self.posterior = jnp.asarray(z["posterior"])
 
-    def _make_gated_rollout(self):
-        spec, sp, rcfg, cfg = self.spec, self.sim_params, self.rcfg, self.cfg
+    def _make_policy_rollout(self):
+        spec, sp, rcfg = self.spec, self.sim_params, self.rcfg
 
-        def one(q, v, vd, wd, key):
-            return rollout.rollout_safedagger(
-                spec, sp, rcfg, physics.SimState(q=q, v=v), vd, wd,
-                self._policy_fn(), num_steps_to_block=cfg.num_steps_to_block,
-                admm_cfg=self.admm_cfg, ddp_cfg=self.ddp_cfg,
+        def one(q, v, vd, wd):
+            return rollout.rollout_policy(
+                spec, sp, rcfg, physics.SimState(q=q, v=v), vd, wd, self._policy_fn()
             )
 
         return jax.jit(jax.vmap(one))
+
+    def select_rollout(self, res_mpc, res_policy, v_des, w_des):
+        """The reference decision rule (locosafedagger_modified.py:586-605):
+        aggregate the rollout with the smaller weighted tracking error.
+        Returns ("mpc"|"policy", e_mpc, e_policy)."""
+        e_mpc = weighted_vc_error(
+            res_mpc.states, res_mpc.fail_step, res_mpc.failed, v_des, w_des
+        )
+        e_policy = weighted_vc_error(
+            res_policy.states, res_policy.fail_step, res_policy.failed, v_des, w_des
+        )
+        return ("mpc" if e_mpc < e_policy else "policy"), e_mpc, e_policy
 
     def run(self, q0, v0, checkpoint_dir: str | None = None, resume: bool = False):
         start_it, logs = 0, []
@@ -334,7 +379,7 @@ class LocoSafeDagger(_IterativeDriver):
             self.warmup(q0, v0)
             if checkpoint_dir:
                 self.save_checkpoint(checkpoint_dir, 0, logs)
-        gated = self._make_gated_rollout()
+        policy_rollout = self._make_policy_rollout()
         for it in range(start_it, self.cfg.n_iterations):
             goal = bayes.random_sample_from_distribution(self.rng, self.grid, self.posterior)
             v_des = np.array([goal[0], goal[1], 0.0])
@@ -344,14 +389,18 @@ class LocoSafeDagger(_IterativeDriver):
             vb = jnp.asarray(np.tile(v0, (B, 1)), jnp.float32)
             vds = jnp.asarray(np.tile(v_des, (B, 1)), jnp.float32)
             wds = jnp.asarray(np.full(B, w_des), jnp.float32)
-            self.key, sub = jax.random.split(self.key)
-            res = gated(qb, vb, vds, wds, jax.random.split(sub, B))
-            added = self._aggregate(res)
 
-            # velocity-tracking error of the episode (actual v vs command)
-            v_actual = np.asarray(res.states[..., 0:2]).reshape(-1, 2)
-            err = float(np.mean(np.sum((v_actual - v_des[:2]) ** 2, axis=-1)))
-            like = bayes.compute_likelihood(self.grid, goal, error=err)
+            # dual rollout: nominal MPC expert AND the current policy
+            res_mpc = self._mpc_rollout(qb, vb, vds, wds)
+            res_policy = policy_rollout(qb, vb, vds, wds)
+            choice, e_mpc, e_policy = self.select_rollout(res_mpc, res_policy, v_des, w_des)
+            chosen = res_mpc if choice == "mpc" else res_policy
+            added = self._aggregate(chosen, expert_only=False)
+            err = min(e_mpc, e_policy)
+
+            like = bayes.compute_likelihood(
+                self.grid, goal, error=err if self.error_scaled_likelihood else None
+            )
             self.posterior = bayes.update_goal_distribution(self.posterior, like)
 
             report = self._train()
@@ -359,6 +408,9 @@ class LocoSafeDagger(_IterativeDriver):
                 {
                     "iteration": it,
                     "goal": goal.tolist(),
+                    "aggregated": choice,
+                    "e_mpc": e_mpc,
+                    "e_policy": e_policy,
                     "tracking_error": err,
                     "datapoints_added": added,
                     "database_size": len(self.database),

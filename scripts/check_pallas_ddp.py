@@ -17,10 +17,8 @@ import numpy as np
 def main():
     import jax
 
-import os as _os
-
-if _os.environ.get("JAX_PLATFORMS"):  # sitecustomize pins jax_platforms; re-apply
-    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    if os.environ.get("JAX_PLATFORMS"):  # sitecustomize pins jax_platforms; re-apply
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")

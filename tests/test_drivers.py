@@ -121,3 +121,47 @@ def test_locosafedagger_posterior_roundtrip(spec, tmp_path):
     assert nxt == 3 and logs == [{"iteration": 0}]
     np.testing.assert_allclose(np.asarray(d2.posterior), np.asarray(d.posterior))
     assert len(d2.database) == 4
+
+
+def test_locosafedagger_selects_lower_error_rollout(spec):
+    """The restored reference decision rule (locosafedagger_modified.py:
+    560-605): per sampled goal, BOTH the MPC and the policy are rolled out
+    and the one with the smaller weighted vx/vy/w tracking error is
+    aggregated. Synthetic rollout pairs verify the comparison picks the
+    right side in both directions."""
+    from bunmpc_tpu.learning.dagger import LocoSafeDagger, weighted_vc_error
+    from bunmpc_tpu.sim.rollout import RolloutResult
+
+    cfg = DaggerConfig(episode_length=100, rollouts_per_iteration=1)
+    d = LocoSafeDagger(spec, cfg, grid_n=5, seed=0)
+    v_des = np.array([0.3, 0.0, 0.0])
+    w_des = 0.1
+
+    def fake_result(vx, vy, w):
+        states = np.zeros((1, 50, 43), np.float32)
+        states[..., 0] = vx
+        states[..., 1] = vy
+        states[..., 5] = w
+        z = np.zeros(1)
+        return RolloutResult(
+            states=states, actions=None, vc_goals=None, base=None, com=None,
+            contact_forces=None, contact_pos=None, in_contact=None,
+            failed=np.zeros(1, bool), fail_step=np.full(1, 50), final_state=None,
+            mpc_usage=z,
+        )
+
+    good = fake_result(0.3, 0.0, 0.1)  # tracks the command
+    bad = fake_result(0.0, 0.1, -0.2)  # does not
+    choice, e_mpc, e_policy = d.select_rollout(good, bad, v_des, w_des)
+    assert choice == "mpc" and e_mpc < e_policy
+    choice, e_mpc, e_policy = d.select_rollout(bad, good, v_des, w_des)
+    assert choice == "policy" and e_policy < e_mpc
+    # the error formula matches the reference weighting exactly
+    e = weighted_vc_error(bad.states, bad.fail_step, bad.failed, v_des, w_des)
+    vx_e, vy_e, w_e = (0.3 - 0.0) ** 2, (0.0 - 0.1) ** 2, (0.1 + 0.2) ** 2
+    np.testing.assert_allclose(e, 0.4 * vx_e**2 + 0.3 * vy_e**2 + 0.3 * w_e**2, rtol=1e-6)
+    # failed episodes use the surviving prefix; immediate failure -> inf
+    dead = fake_result(0.3, 0.0, 0.1)._replace(
+        failed=np.ones(1, bool), fail_step=np.zeros(1)
+    )
+    assert weighted_vc_error(dead.states, dead.fail_step, dead.failed, v_des, w_des) == np.inf

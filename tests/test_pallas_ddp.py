@@ -85,3 +85,123 @@ def test_dense_weights_match_residual_fns(setup):
     _, w_t = term(x0)
     np.testing.assert_allclose(np.asarray(w_term), np.asarray(w_t), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(ctrl_w), np.asarray(ctrl_w_ref), rtol=1e-6)
+
+
+def test_multi_iteration_divergent_linesearch(setup):
+    """Three DDP iterations with the FULL alpha grid on a batch of DISTINCT
+    problems: per-lane line-search selections diverge (different alphas win
+    on different lanes), exercising the kernel's masked best-accept path —
+    the round-2 suite only covered one iteration with a single alpha."""
+    model, eff, tasks, x0 = setup
+    H = tasks.dts.shape[0]
+    nq, nv = model.nq, model.nv
+    f32 = jnp.float32
+    rng = np.random.default_rng(11)
+    NPROB = 4
+    alphas = (1.0, 0.7, 0.3, 0.1, 0.03)
+
+    # distinct per-lane problems: perturb targets and the start state
+    def perturb_tasks(i):
+        r = np.random.default_rng(100 + i)
+        return IK.IkTasks(
+            ee_targets=tasks.ee_targets + jnp.asarray(r.normal(size=(H, 4, 3)) * 0.05, f32),
+            ee_wts=tasks.ee_wts,
+            com_ref=tasks.com_ref + jnp.asarray(r.normal(size=(H + 1, 3)) * 0.03, f32),
+            mom_ref=tasks.mom_ref,
+            com_wt=tasks.com_wt, mom_wt=tasks.mom_wt,
+            state_wt=tasks.state_wt, x_reg=tasks.x_reg,
+            reg_wt_state=tasks.reg_wt_state, reg_wt_ctrl=tasks.reg_wt_ctrl,
+            ctrl_wt=tasks.ctrl_wt, dts=tasks.dts,
+        )
+
+    probs = [perturb_tasks(i) for i in range(NPROB)]
+    x0s = [
+        jnp.asarray(
+            np.concatenate(
+                [np.asarray(x0[: nq]) + np.concatenate([np.zeros(7), rng.normal(size=nq - 7) * 0.05]),
+                 rng.normal(size=nv) * 0.1]
+            ), f32,
+        )
+        for _ in range(NPROB)
+    ]
+
+    cfg_x = ddp.DdpConfig(n_iters=3, alphas=alphas)
+    refs = [IK.solve_ik(model, eff, x0s[i], probs[i], cfg=cfg_x) for i in range(NPROB)]
+
+    # batch: lane i carries problem i % NPROB
+    B = PD.LANES
+    w = [IK.dense_weights(model, eff, p) for p in probs]
+
+    def lane_stack(get):
+        return jnp.stack([get(i % NPROB) for i in range(B)])
+
+    xs_p, us_p, cost_p = PD.solve_ik_batch(
+        model, eff,
+        lane_stack(lambda i: x0s[i]),
+        lane_stack(lambda i: probs[i].ee_targets),
+        lane_stack(lambda i: probs[i].com_ref),
+        lane_stack(lambda i: probs[i].mom_ref),
+        lane_stack(lambda i: w[i][3]),
+        lane_stack(lambda i: w[i][0]),
+        lane_stack(lambda i: w[i][1]),
+        lane_stack(lambda i: w[i][2]),
+        lane_stack(lambda i: probs[i].dts),
+        cfg=PD.PallasDdpConfig(n_iters=3, alphas=alphas, interpret=True),
+    )
+    for i in range(NPROB):
+        np.testing.assert_allclose(
+            np.asarray(xs_p[i]), np.asarray(refs[i].xs), atol=5e-4,
+            err_msg=f"problem {i}",
+        )
+        np.testing.assert_allclose(
+            float(cost_p[i]), float(refs[i].cost), rtol=5e-4, err_msg=f"problem {i}"
+        )
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu",
+    reason="full-size compiled check needs the real chip (BUNMPC_TPU_TESTS=1)",
+)
+def test_full_size_compiled_matches_xla_tpu(setup):
+    """Promotion of scripts/check_pallas_ddp.py into the suite: full-size
+    H=10, B=256 compiled kernel vs the vmapped XLA DDP on distinct states."""
+    model, eff, tasks0, _ = setup
+    H, B = 10, 256
+    nq, nv = model.nq, model.nv
+    f32 = jnp.float32
+    rng = np.random.default_rng(3)
+    x_reg = np.concatenate([Solo12Config.q0(), np.zeros(nv)])
+    tasks = IK.IkTasks(
+        ee_targets=jnp.asarray(rng.normal(size=(H, 4, 3)) * 0.1, f32),
+        ee_wts=jnp.asarray(rng.uniform(0.5, 2.0, size=(H, 4)), f32),
+        com_ref=jnp.asarray(rng.normal(size=(H + 1, 3)) * 0.05, f32),
+        mom_ref=jnp.asarray(rng.normal(size=(H + 1, 6)) * 0.05, f32),
+        com_wt=jnp.asarray(3.0, f32),
+        mom_wt=jnp.asarray(2.0, f32),
+        state_wt=jnp.asarray(rng.uniform(0.1, 1.0, size=2 * nv), f32),
+        x_reg=jnp.asarray(x_reg, f32),
+        reg_wt_state=0.7,
+        reg_wt_ctrl=1e-4,
+        ctrl_wt=jnp.asarray(rng.uniform(0.1, 1.0, size=nv), f32),
+        dts=jnp.full(H, 0.05, f32),
+    )
+    q0 = np.tile(Solo12Config.q0(), (B, 1))
+    q0[:, 7:] += rng.normal(size=(B, 12)) * 0.03
+    x0b = jnp.asarray(np.concatenate([q0, rng.normal(size=(B, nv)) * 0.05], 1), f32)
+
+    xla = jax.jit(jax.vmap(lambda x: IK.solve_ik(model, eff, x, tasks).xs))
+    ref = jax.block_until_ready(xla(x0b))
+
+    w_stage, w_term, ctrl_w, x_reg_d = IK.dense_weights(model, eff, tasks)
+    tile = lambda a: jnp.broadcast_to(a, (B,) + a.shape)  # noqa: E731
+    xs_p, _, _ = PD.solve_ik_batch(
+        model, eff, x0b, tile(tasks.ee_targets), tile(tasks.com_ref),
+        tile(tasks.mom_ref), tile(x_reg_d), tile(w_stage), tile(w_term),
+        tile(ctrl_w), tile(tasks.dts),
+    )
+    # Both paths run f32 and can accept different (equally converged)
+    # line-search branches on a few lanes (solve_ik docstring), so gate the
+    # distribution: bulk agreement tight, worst-lane deviation bounded.
+    d = np.abs(np.asarray(xs_p) - np.asarray(ref))
+    assert np.quantile(d, 0.999) < 5e-3, np.quantile(d, 0.999)
+    assert d.max() < 5e-2, d.max()
