@@ -71,16 +71,36 @@ def make_cyclic_spec(
     ik_hor_ratio: float = 0.5,
     foot_size: float = 0.018,
     x_reg: np.ndarray | None = None,
+    offset_style: str | None = None,
 ) -> CyclicMpcSpec:
-    """Host-side setup: hip offsets relative to the CoM at q0 (with the
-    reference's hand-tuned xy nudges, abstract_cyclic_gen.py:51-76), composite
-    inertia for the yaw-momentum target (:46-47)."""
+    """Host-side setup: Raibert planning offsets relative to the CoM at q0,
+    composite inertia for the yaw-momentum target (abstract_cyclic_gen.py:
+    46-47).
+
+    ``offset_style`` mirrors the reference's generator pairing:
+    * "solo12_hip": hip - com with the Solo12-specific hand-tuned lateral
+      nudges (SoloMpcGaitGen, abstract_cyclic_gen.py:51-76). The nudge signs
+      assume Solo12's frame layout (FL at +y) — applying them to another
+      robot can *narrow* the stance (this collapsed the round-2 Go2 trot:
+      Go2's FL sits at -y, so the +-0.04 nudges cut the support width 8 cm).
+    * "generic": foot - com, no nudges (AbstractGaitGen, the reference's
+      Go2-capable path, abstract_cyclic_gen1.py:50-65).
+    * None (default): "solo12_hip" for the solo family, else "generic".
+    """
+    if offset_style is None:
+        offset_style = "solo12_hip" if model.name.startswith("solo") else "generic"
     q0j = jnp.asarray(q0)
     com0 = np.asarray(K.com(model, q0j))
-    hips = np.asarray(K.frame_positions(model, q0j, hip_frames))
-    offsets = np.round(hips - com0, 3)
-    # contact-planning nudges: widen the stance laterally (:58-69)
-    offsets[:, 1] += np.array([0.04, -0.04, 0.04, -0.04])
+    if offset_style == "solo12_hip":
+        hips = np.asarray(K.frame_positions(model, q0j, hip_frames))
+        offsets = np.round(hips - com0, 3)
+        # contact-planning nudges: widen the stance laterally (:58-69)
+        offsets[:, 1] += np.array([0.04, -0.04, 0.04, -0.04])
+    elif offset_style == "generic":
+        feet = np.asarray(K.frame_positions(model, q0j, eff_frames))
+        offsets = np.round(feet - com0, 3)
+    else:
+        raise ValueError(f"unknown offset_style {offset_style!r}")
     R0 = np.asarray(Q.quat_to_rot(q0j[3:7]))
     offsets = offsets @ R0  # rotate into the base frame (:72-76)
 

@@ -44,4 +44,47 @@ trot = BiconvexMotionParams(
     kd=1.0,
 )
 
-GAITS = {"trot": trot}
+# Extended-horizon trot (BASELINE.json configs[1]: "Go2 trot/bound with
+# extended horizon"): 3 gait cycles of lookahead instead of 2 — 30 knots,
+# same weights; full contact-schedule replanning comes from the 20 Hz
+# receding-horizon loop re-planning the whole window every cycle.
+trot_extended = BiconvexMotionParams(
+    **{**trot.__dict__, "motion_name": "trot_extended", "gait_horizon": 3.0}
+)
+
+
+# Bound: front pair and hind pair alternate (phase split front/back instead
+# of diagonal). Timings follow the Solo12 bound table (reference
+# examples/motions/cyclic/solo12_bound.py:13-41) with the mass-scaled
+# weights/penalties used by the Go2 trot above and the Go2 eff order
+# (FR, FL, RR, RL) -> front pair = indices (0, 1).
+bound = BiconvexMotionParams(
+    robot_name="go2",
+    motion_name="bound",
+    gait_period=0.3,
+    stance_percent=(0.5, 0.5, 0.5, 0.5),
+    gait_dt=0.05,
+    phase_offset=(0.0, 0.0, 0.5, 0.5),
+    step_ht=0.07,
+    state_wt=np.array(
+        [0.0, 0.0, 1e3] + [10.0, 10.0, 10.0] + [50.0] * _NJ
+        + [0.0] * 3 + [100.0, 10.0, 100.0] + [0.5] * _NJ
+    ),
+    ctrl_wt=np.array([0.5, 0.5, 0.5] + [1.0] * 3 + [0.5] * _NJ),
+    swing_wt=(1e4, 1e4),
+    cent_wt=(5e1, 5e2),
+    reg_wt=(7e-3, 7e-5),
+    W_X=np.array([1e-5, 1e-5, 5e4, 1e1, 1e1, 1e3, 5e3, 1e4, 5e3]),
+    W_X_ter=10.0 * np.array([1e-5, 1e-5, 5e4, 1e1, 1e1, 1e3, 1e4, 1e4, 1e4]),
+    W_F=np.array([1e1, 1e1, 1.5e1] * 4),
+    rho=4e5,  # bound's flight phases need a stiffer penalty than the trot's
+    # 2e5 (measured: 2e5 diverges to NaN at ~iter 240 on the nominal window;
+    # 4e5 converges @1e-3 in ~110 iters)
+    ori_correction=(0.2, 0.8, 0.8),
+    gait_horizon=4.0,
+    nom_ht=0.30,
+    kp=40.0,
+    kd=2.0,
+)
+
+GAITS = {"trot": trot, "trot_extended": trot_extended, "bound": bound}

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..kin import algorithms as K
+from ..mpc import gait as G
 from ..mpc import kino_dyn as KD
 from ..robots.model import RobotModel
 from ..utils.quat import quat_to_rot, rot_to_rpy
@@ -192,6 +193,7 @@ def rollout_mpc(
     ddp_cfg=None,
     gains: controllers.IdControllerGains | None = None,  # PD override (vmappable)
     warm_start_carry: bool = False,
+    swing_blend=None,  # optional scalar (traced/vmappable): see below
 ) -> RolloutResult:
     """MPC expert rollout (reference Simulation.rollout_mpc, simulation.py:340).
 
@@ -207,6 +209,15 @@ def rollout_mpc(
     a receding-horizon accelerator the reference lacks (its F/P warm starts
     stay zero forever, kino_dyn.cpp:20-23): the masked ADMM while_loop exits
     earlier, identical fixed points.
+
+    ``swing_blend`` (contact-adaptive swing handling, beyond the reference):
+    when a foot the gait plans as SWINGING is measured still in contact, the
+    PD feedback on that leg's joints is scaled by this factor (0 = release
+    the leg entirely, 1/None = reference behavior). Without it the
+    controller tracks the planned swing trajectory *against* the grounded
+    foot — on heavy robots (Go2) the resulting ground push ratchets the
+    base upward and rolls the trot over (ROADMAP round-2 diagnosis:
+    measured contact duty 0.90 vs planned 0.60).
     """
     model = spec.model
     eff = spec.eff_frames
@@ -220,9 +231,18 @@ def rollout_mpc(
         kwargs["ddp_cfg"] = ddp_cfg
     H = spec.horizon
     n_shift = max(1, int(round(cfg.plan_freq / spec.params.gait_dt)))
+    if swing_blend is not None:
+        # static (n_eff, n_joints) incidence: joints on the path to each foot
+        import numpy as _np
+
+        leg_mask = _np.zeros((spec.n_eff, model.nv - 6), _np.float32)
+        for e, name in enumerate(eff):
+            for j in model.ancestors(model.frames[name].body):
+                leg_mask[e, j] = 1.0
+        leg_mask_j = jnp.asarray(leg_mask)
 
     def window(carry, w_idx):
-        state, failed, fail_step, ws_prev = carry
+        state, failed, fail_step, ws_prev, prev_cnt = carry
         sim_t = start_time + w_idx * cfg.plan_freq * 1.0
         qm0, vm0 = _measure(state.q, state.v, q_noise, v_noise)
         if warm_start_carry:
@@ -259,7 +279,7 @@ def rollout_mpc(
         mpc_bad = jnp.any(jnp.isnan(plan.f_int)) | jnp.any(jnp.isnan(plan.xs_int))
 
         def substep(inner, i):
-            state, failed, fail_step = inner
+            state, failed, fail_step, prev_cnt = inner
             step_idx = (w_idx * spp + i).astype(jnp.int32)
             q, v = _measure(state.q, state.v, q_noise, v_noise)
             feat = state_features(model, eff, q, v)
@@ -271,6 +291,16 @@ def rollout_mpc(
             tau_ff, tau_fb = controllers.id_joint_torques(
                 model, eff, gains, q, v, q_des, v_des_traj, a_des, f_ff
             )
+            if swing_blend is not None:
+                # release legs whose planned-swing foot is still grounded
+                t_ms = jnp.asarray(sim_t, q.dtype) + i * cfg.sim_dt
+                planned_st = G.in_stance(spec.gait, t_ms)  # (ne,)
+                gate = (planned_st == 0) & prev_cnt  # (ne,) bool
+                sb = jnp.asarray(swing_blend, q.dtype)
+                scale_j = 1.0 - (1.0 - sb) * jnp.einsum(
+                    "ej,e->j", leg_mask_j.astype(q.dtype), gate.astype(q.dtype)
+                ).clip(0.0, 1.0)
+                tau_fb = scale_j * tau_fb
             tau = tau_ff + tau_fb
             action = _extract_action(
                 cfg, tau, q, v, tau_ff=tau_ff, q_des=q_des, v_des_traj=v_des_traj
@@ -290,12 +320,12 @@ def rollout_mpc(
             com = K.com(model, q)
             out = (feat, action, goal, q[0:3], com, cinfo.forces, cinfo.positions,
                    cinfo.in_contact)
-            return (new_state, now_failed, fail_step), out
+            return (new_state, now_failed, fail_step, cinfo.in_contact), out
 
-        (state, failed, fail_step), outs = jax.lax.scan(
-            substep, (state, failed, fail_step), jnp.arange(spp)
+        (state, failed, fail_step, prev_cnt), outs = jax.lax.scan(
+            substep, (state, failed, fail_step, prev_cnt), jnp.arange(spp)
         )
-        return (state, failed, fail_step, ws_prev), outs
+        return (state, failed, fail_step, ws_prev, prev_cnt), outs
 
     if warm_start_carry:
         f32 = state0.q.dtype
@@ -308,8 +338,12 @@ def rollout_mpc(
         )
     else:
         ws0 = jnp.zeros(())  # inert carry slot
-    init = (state0, jnp.asarray(False), jnp.asarray(cfg.episode_length, jnp.int32), ws0)
-    (final_state, failed, fail_step, _), outs = jax.lax.scan(
+    cnt0 = jnp.ones(spec.n_eff, bool)  # standing start: all feet grounded
+    init = (
+        state0, jnp.asarray(False), jnp.asarray(cfg.episode_length, jnp.int32),
+        ws0, cnt0,
+    )
+    (final_state, failed, fail_step, _, _), outs = jax.lax.scan(
         window, init, jnp.arange(cfg.n_windows)
     )
     flat = jax.tree_util.tree_map(lambda a: a.reshape((-1,) + a.shape[2:]), outs)

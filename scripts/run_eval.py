@@ -9,6 +9,7 @@ max_force_search.py, test_sweep_policy.py):
     python scripts/run_eval.py mode=policy_grid policy=models/x/policy
     python scripts/run_eval.py mode=cc_replanning vc_policy=... cc_policy=...
     python scripts/run_eval.py mode=max_force
+    python scripts/run_eval.py mode=past_goals n_goals=5 out=pg.csv
 
 Results print as a summary dict and export to CSV (out=...csv), the
 portable stand-in for the reference's wandb/xlsx error tables.
@@ -86,6 +87,25 @@ def main():
             w_des_batch=np.asarray([ww for _, ww in grid]),
             goal_horizon=int(args.get("goal_horizon", 1)),
         )
+    elif mode == "past_goals":
+        from bunmpc_tpu.eval.past_goals import run_past_goals_eval
+        from bunmpc_tpu.learning.bc import BcConfig
+
+        n_goals = int(args.get("n_goals", 5))
+        vx_lo, vx_hi = (float(x) for x in args.get("vx_range", "0.0,0.4").split(","))
+        goals = np.stack([
+            np.linspace(vx_lo, vx_hi, n_goals),
+            np.zeros(n_goals), np.zeros(n_goals), np.zeros(n_goals),
+        ], axis=1)
+        res = run_past_goals_eval(
+            spec, sim_params, cfg, Solo12Config.q0(), np.zeros(18), goals,
+            bc_cfg=BcConfig(n_epoch=int(args.get("bc_epochs", 50))),
+        )
+        print({"forgetting": res.forgetting()})
+        if out:
+            res.to_csv(out)
+            print("wrote", out)
+        return
     elif mode == "max_force":
         from bunmpc_tpu.eval import max_force
 

@@ -101,3 +101,33 @@ def test_cc_replanning_comparison(spec, sim_params, tmp_path):
     path = os.path.join(tmp_path, "cc.csv")
     res.to_csv(path)
     assert sum(1 for _ in open(path)) == 1 + 3 * 2
+
+
+def test_past_goals_forgetting_matrix(spec):
+    """Past-goals policy eval (reference test_policy_rollout_with_past_goals
+    :481-660): sequential goals, each iteration's policy re-evaluated on all
+    past goals -> lower-triangular vx/vy MSE matrices."""
+    from bunmpc_tpu.eval.past_goals import run_past_goals_eval
+    from bunmpc_tpu.learning.bc import BcConfig
+    from bunmpc_tpu.sim import physics, rollout
+    from bunmpc_tpu.solvers import biconvex, ddp
+
+    rcfg = rollout.RolloutConfig(episode_length=300, gait_period=spec.params.gait_period)
+    goals = np.array([[0.1, 0.0, 0.0, 0.0], [0.2, 0.0, 0.0, 0.0]], np.float32)
+    res = run_past_goals_eval(
+        spec, physics.SimParams(), rcfg,
+        Solo12Config.q0(), np.zeros(18), goals,
+        bc_cfg=BcConfig(n_epoch=3, batch_size=64),
+        admm_cfg=biconvex.BiconvexConfig(rho=spec.params.rho, max_admm_iters=40),
+        ddp_cfg=ddp.DdpConfig(n_iters=2, alphas=(1.0, 0.3)),
+    )
+    # lower-triangular structure: row 0 has goal 0 only; row 1 has both
+    assert np.isfinite(res.error_vx[0, 0])
+    assert np.isnan(res.error_vx[0, 1])
+    assert np.isfinite(res.error_vx[1, :2]).all()
+    assert res.error_vx.shape == (2, 2)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "pg.csv")
+        res.to_csv(p)
+        assert sum(1 for _ in open(p)) == 1 + 3  # header + 3 triangular rows

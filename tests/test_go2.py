@@ -120,3 +120,41 @@ def test_default_schedule_converges_solo12_and_go2(model):
                 x_bounds=pr["x_bounds"],
             )
             assert float(res.viol_norm) < cfg.exit_tol, (name, tt)
+
+
+@pytest.mark.parametrize("gait_name", ["bound", "trot_extended"])
+def test_go2_bound_and_extended_horizon_solve(model, gait_name):
+    """BASELINE.json configs[1]: Go2 trot/bound with extended horizon. The
+    centroidal ADMM must converge on nominal windows of both new tables
+    (default accelerated schedule, no per-robot opt-in)."""
+    from bunmpc_tpu.mpc.motions import go2_cyclic
+
+    params = getattr(go2_cyclic, gait_name)
+    spec = KD.make_cyclic_spec(
+        model, params, Go2Config.q0(),
+        eff_frames=tuple(Go2Config.eff_names),
+        hip_frames=tuple(Go2Config.hip_names),
+        foot_size=Go2Config.foot_size,
+    )
+    q = jnp.asarray(Go2Config.q0(), jnp.float32)
+    v = jnp.zeros(18, jnp.float32)
+    vd = jnp.asarray([0.3, 0.0, 0.0], jnp.float32)
+    cfg = biconvex.BiconvexConfig(rho=spec.params.rho, x_solver="thomas",
+                                  max_admm_iters=200)
+    for tt in (0.0, 0.07):
+        pr = KD._prepare_problem(
+            spec, q, v, jnp.asarray(tt, jnp.float32), vd, jnp.asarray(0.0, jnp.float32)
+        )
+        res = biconvex.solve(
+            pr["plan"], spec.model.total_mass, pr["x_init"],
+            biconvex.CostX(W=pr["W"], X_ref=pr["X_ref"]), pr["W_F"],
+            pr["X_wm"], pr["F_wm"],
+            jnp.zeros((spec.horizon + 1, 9), jnp.float32), cfg,
+            x_bounds=pr["x_bounds"],
+        )
+        # absolute residuals scale with the 6x mass; mass-scaled gate
+        assert float(res.viol_norm) < 1e-2, (gait_name, tt, float(res.viol_norm))
+        F = np.asarray(res.F)
+        cnt = np.asarray(pr["plan"].cnt)
+        fz_mean = (cnt * F[..., 2]).sum(-1).mean()
+        assert abs(fz_mean - 15.097 * 9.81 / 2) < 60.0  # ~half weight per pair
