@@ -114,16 +114,23 @@ def solve_block_tridiag(M, U, rhs):
     M: (..., K, n, n), U: (..., K-1, n, n) couplings k->k+1, rhs (..., K, n).
     Block-Thomas with per-block Cholesky; the knot scan is sequential (K ~ 21
     for the trot window), everything else broadcasts over the batch axes.
+
+    All matmuls are pinned to full float32 precision: XLA's TPU default
+    lowers f32 dots to bf16 passes, which is catastrophic here — the 9x9
+    Cholesky factors lose positive-definiteness and the "exact" solve (and
+    with it the whole ADMM) diverges to NaN on heavy robots while the same
+    f32 program converges on CPU.
     """
     K = M.shape[-3]
+    prec = jax.lax.Precision.HIGHEST
 
     def fwd(carry, inp):
         Cprev_chol, dprev = carry  # chol(C_{k-1}), C_{k-1}^{-1}-applied y
         Mk, Uk_prev, rk = inp
         # C_k = M_k - U' C^{-1} U ; y_k = r_k - U' C^{-1} y_{k-1}
         CiU = jax.scipy.linalg.cho_solve((Cprev_chol, True), Uk_prev)
-        Ck = Mk - jnp.einsum("...ji,...jk->...ik", Uk_prev, CiU)
-        yk = rk - jnp.einsum("...ji,...j->...i", Uk_prev, dprev)
+        Ck = Mk - jnp.einsum("...ji,...jk->...ik", Uk_prev, CiU, precision=prec)
+        yk = rk - jnp.einsum("...ji,...j->...i", Uk_prev, dprev, precision=prec)
         Ck_chol = jnp.linalg.cholesky(Ck)
         dk = jax.scipy.linalg.cho_solve((Ck_chol, True), yk)
         return (Ck_chol, dk), (Ck_chol, dk)
@@ -143,7 +150,7 @@ def solve_block_tridiag(M, U, rhs):
         chol_k, dk, Uk = inp
         # x_k = d_k - C_k^{-1} U_k x_{k+1}
         xk = dk - jax.scipy.linalg.cho_solve(
-            (chol_k, True), jnp.einsum("...ij,...j->...i", Uk, x_next)
+            (chol_k, True), jnp.einsum("...ij,...j->...i", Uk, x_next, precision=prec)
         )
         return xk, xk
 

@@ -87,7 +87,35 @@ def solve(
     stage_jac_fn: Callable | None = None,  # (x, u, k) -> (Jr, w, Fx, Fu)
     term_jac_fn: Callable | None = None,  # (x) -> Jt
 ) -> DdpResult:
-    """Minimize sum_k dt_k*[0.5 r_k' W_k r_k + 0.5 u' Wu u] + 0.5 r_N' W_N r_N."""
+    """Minimize sum_k dt_k*[0.5 r_k' W_k r_k + 0.5 u' Wu u] + 0.5 r_N' W_N r_N.
+
+    The whole solve is traced under full-f32 matmul precision: the TPU
+    default (bf16 dot passes) corrupts the Riccati Gauss-Newton blocks on
+    heavier robots — Quu loses positive-definiteness, the Cholesky NaNs,
+    every line-search candidate is rejected and the returned trajectory
+    silently freezes at the warm start (the round-2 Go2 in-sim collapse).
+    """
+    return _solve_f32(
+        model, x0, us0, dts, residuals_fn, ctrl_weight, term_residuals_fn,
+        cfg, stage_jac_fn, term_jac_fn,
+    )
+
+
+def _solve_f32(
+    model, x0, us0, dts, residuals_fn, ctrl_weight, term_residuals_fn, cfg,
+    stage_jac_fn, term_jac_fn,
+) -> DdpResult:
+    with jax.default_matmul_precision("float32"):
+        return _solve_impl(
+            model, x0, us0, dts, residuals_fn, ctrl_weight, term_residuals_fn,
+            cfg, stage_jac_fn, term_jac_fn,
+        )
+
+
+def _solve_impl(
+    model, x0, us0, dts, residuals_fn, ctrl_weight, term_residuals_fn, cfg,
+    stage_jac_fn, term_jac_fn,
+) -> DdpResult:
     nv = model.nv
     ndx = 2 * nv
     H = us0.shape[0]
