@@ -2,6 +2,7 @@
 report for Solo12 or Go2 trot.
 
 Usage: python scripts/diagnose_gait.py [solo12|go2] [vx] [episode_ms] [out_prefix]
+        [kp] [kd] [nom_ht] [swing_blend] [kn]
 
 Prints per-second attitude envelopes, z-height drift, contact-timing lead/lag
 vs the gait plan, and velocity tracking — the observables behind the ROADMAP
@@ -64,8 +65,20 @@ def main():
     kp = float(sys.argv[5]) if len(sys.argv) > 5 else None
     kd = float(sys.argv[6]) if len(sys.argv) > 6 else None
     nom_ht = float(sys.argv[7]) if len(sys.argv) > 7 else None
+    swing_blend = float(sys.argv[8]) if len(sys.argv) > 8 else None
+    kn = float(sys.argv[9]) if len(sys.argv) > 9 else None
+    carry = bool(int(sys.argv[10])) if len(sys.argv) > 10 else True
+    force_gate = float(sys.argv[11]) if len(sys.argv) > 11 else None
+    settle_ms = int(sys.argv[12]) if len(sys.argv) > 12 else 0
 
     spec, sim_params, C, trot = build(robot)
+    if kn is not None:
+        import dataclasses as _dc
+
+        sim_params = _dc.replace(
+            sim_params,
+            contact=_dc.replace(sim_params.contact, kn=kn, dn=kn / 20.0, kt=kn / 20.0),
+        )
     if nom_ht is not None:
         import dataclasses as _dc
 
@@ -86,8 +99,28 @@ def main():
         )
     print(f"config: kp={spec.params.kp} kd={spec.params.kd} nom_ht={spec.params.nom_ht}")
     state0 = physics.SimState(q=jnp.asarray(C.q0()), v=jnp.zeros(18))
+    if settle_ms:
+        # pre-settle: hold q0 joints with PD until the base rests on its feet
+        # (q0 starts the feet above the ground; the drop transient otherwise
+        # kicks the gait during its first diagonal-support phase)
+        q0j = state0.q[7:]
+        # stiff hold: the gait PD is sized for feed-forward-carried loads and
+        # sags ~0.2 rad under raw gravity (Go2 sank 8 cm at kp=25)
+        kp_s, kd_s = 6.0 * spec.params.kp, 6.0 * spec.params.kd
+
+        def settle_step(s, _):
+            tau = -kp_s * (s.q[7:] - q0j) - kd_s * s.v[6:]
+            s2, _ = physics.step(spec.model, tuple(spec.eff_frames), sim_params, s, tau)
+            return s2, None
+
+        state0, _ = jax.lax.scan(settle_step, state0, None, length=settle_ms)
+        print(f"settled {settle_ms} ms: z={float(state0.q[2]):.4f} "
+              f"|v|={float(jnp.abs(state0.v).max()):.4f}")
     run = jax.jit(
-        lambda s, vd, wd: rollout.rollout_mpc(spec, sim_params, cfg, s, vd, wd)
+        lambda s, vd, wd: rollout.rollout_mpc(
+            spec, sim_params, cfg, s, vd, wd, swing_blend=swing_blend,
+            warm_start_carry=carry, force_gate=force_gate,
+        )
     )
     res = jax.block_until_ready(
         run(state0, jnp.asarray([vx, 0.0, 0.0], jnp.float32), jnp.asarray(0.0, jnp.float32))
@@ -102,12 +135,13 @@ def main():
     incnt = np.asarray(res.in_contact)
 
     print(f"robot={robot} vx={vx} T={T}ms failed={bool(res.failed)} fail_step={int(res.fail_step)}")
-    for s in range(T // 1000):
-        sl = slice(s * 1000, (s + 1) * 1000)
+    for s in range(T // 500):
+        sl = slice(s * 500, (s + 1) * 500)
         print(
-            f"  t={s}s: roll[deg] rms={np.rad2deg(np.sqrt((rpy[sl,0]**2).mean())):6.2f} "
+            f"  t={s*0.5:.1f}s: roll[deg] rms={np.rad2deg(np.sqrt((rpy[sl,0]**2).mean())):6.2f} "
             f"max={np.rad2deg(np.abs(rpy[sl,0]).max()):6.2f} | "
-            f"pitch max={np.rad2deg(np.abs(rpy[sl,1]).max()):6.2f} | "
+            f"pitch mean={np.rad2deg(rpy[sl,1].mean()):+6.2f} "
+            f"max={np.rad2deg(np.abs(rpy[sl,1]).max()):6.2f} | "
             f"z mean={z[sl].mean():.3f} drift={z[sl][-1]-z[sl][0]:+.3f} | "
             f"vx mean={vx_act[sl].mean():.3f}"
         )

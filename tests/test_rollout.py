@@ -181,6 +181,42 @@ def test_id_controller_gravity_comp():
     assert float(jnp.max(jnp.abs(tau_ff))) < 1.5
 
 
+def test_id_controller_force_gating():
+    """f_scale gates each leg's J^T f_ff term independently: scale 0 on every
+    leg reproduces the zero-force torques, and gating one leg changes only
+    torques on that leg's joints (sim/rollout.py force_gate path)."""
+    model = Solo12Config.load_model()
+    eff = tuple(Solo12Config.eff_names)
+    q0 = jnp.asarray(Solo12Config.q0())
+    z = jnp.zeros(18)
+    f = jnp.tile(jnp.asarray([0.0, 0.0, 2.5 * 9.81 / 4]), 4)
+    gains = controllers.IdControllerGains(kp=0.0, kd=0.0)
+
+    tau_all, _ = controllers.id_joint_torques(
+        model, eff, gains, q0, z, q0, z, z, f, f_scale=jnp.ones(4)
+    )
+    tau_ref, _ = controllers.id_joint_torques(model, eff, gains, q0, z, q0, z, z, f)
+    np.testing.assert_allclose(np.asarray(tau_all), np.asarray(tau_ref), atol=1e-6)
+
+    tau_none, _ = controllers.id_joint_torques(
+        model, eff, gains, q0, z, q0, z, z, f, f_scale=jnp.zeros(4)
+    )
+    tau_zero_f, _ = controllers.id_joint_torques(
+        model, eff, gains, q0, z, q0, z, z, jnp.zeros_like(f)
+    )
+    np.testing.assert_allclose(np.asarray(tau_none), np.asarray(tau_zero_f), atol=1e-6)
+
+    # gate only leg 0 (FL): legs 1-3 keep their force-compensated torques
+    one_off = jnp.asarray([0.0, 1.0, 1.0, 1.0])
+    tau_g, _ = controllers.id_joint_torques(
+        model, eff, gains, q0, z, q0, z, z, f, f_scale=one_off
+    )
+    np.testing.assert_allclose(
+        np.asarray(tau_g)[3:], np.asarray(tau_all)[3:], atol=1e-6
+    )
+    assert float(jnp.max(jnp.abs(tau_g[:3] - tau_all[:3]))) > 0.05
+
+
 def test_action_encodings_round_trip():
     """All three reference action types (simulation.py:525-531, 760-777):
     extraction and decode are mutually consistent."""
