@@ -223,9 +223,12 @@ def rollout_mpc(
     measured contact duty 0.90 vs planned 0.60).
 
     ``force_gate`` (contact-adaptive force gating, beyond the reference):
-    when a foot the plan loads as STANCE is measured airborne, that leg's
-    feed-forward J^T f_ff compensation is scaled by this factor (0 = drop
-    the force entirely until touchdown, 1/None = reference behavior).
+    when a foot is measured airborne, that leg's feed-forward J^T f_ff
+    compensation is scaled by this factor (0 = drop the force entirely
+    until touchdown, 1/None = reference behavior). The gate applies to
+    EVERY measured-airborne leg regardless of planned phase — planned-swing
+    legs carry ~0 plan force, so in practice it bites only on planned-stance
+    legs that have not touched down yet.
     Pushing a planned-stance force against air just accelerates the leg
     downward into an impact — on the Go2 the resulting bounce loop shows
     up as measured contact duty ~0.1 vs planned 0.6 with ~9x-bodyweight

@@ -2,7 +2,7 @@
 report for Solo12 or Go2 trot.
 
 Usage: python scripts/diagnose_gait.py [solo12|go2] [vx] [episode_ms] [out_prefix]
-        [kp] [kd] [nom_ht] [swing_blend] [kn]
+        [kp] [kd] [nom_ht] [swing_blend] [kn] [carry] [force_gate] [settle_ms]
 
 Prints per-second attitude envelopes, z-height drift, contact-timing lead/lag
 vs the gait plan, and velocity tracking — the observables behind the ROADMAP
