@@ -23,6 +23,7 @@ from ..mpc.kino_dyn import CyclicMpcSpec
 from ..sim import physics, rollout
 from . import bayes
 from . import goals as GU
+from . import networks
 from .bc import BcConfig, train_policy
 from .database import Database
 
@@ -155,6 +156,12 @@ class _IterativeDriver:
         return fn
 
     def _make_gated_rollout(self):
+        """Subclasses return ``gated(qb, vb, vds, wds, keys)``. The policy
+        weights MUST flow through the jit as a traced pytree
+        (networks.policy_tree) — closing over ``self.policy`` inside the
+        jitted episode bakes the warmup weights as constants, and every
+        later iteration silently rolls out the stale policy (round-4 fix;
+        regression-tested in tests/test_drivers.py)."""
         raise NotImplementedError
 
     # --- elastic checkpoint / resume (SURVEY.md §5.3-5.4: the reference has
@@ -210,12 +217,24 @@ class _IterativeDriver:
         self.rng.bit_generator.state = state["rng_state"]
         return state["next_iteration"], state["logs"]
 
-    def run(self, q0, v0, checkpoint_dir: str | None = None, resume: bool = False):
+    def run(
+        self,
+        q0,
+        v0,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
+        eval_hook=None,
+    ):
         """Full loop: warmup then iterate (safedagger_modified.py:464-900).
 
         With ``checkpoint_dir`` the full driver state (database, policy,
         RNG streams, loop counter) is snapshotted after every iteration;
-        ``resume=True`` continues from the last snapshot."""
+        ``resume=True`` continues from the last snapshot.
+
+        ``eval_hook(driver) -> dict`` (optional) is called after warmup and
+        after every iteration's training step — the reference's per-iteration
+        eval sweep slot (safedagger_modified.py:491-516); its dict is merged
+        into that iteration's log entry."""
         start_it, logs = 0, []
         if resume and checkpoint_dir and os.path.exists(
             os.path.join(checkpoint_dir, "state.json")
@@ -223,6 +242,8 @@ class _IterativeDriver:
             start_it, logs = self.load_checkpoint(checkpoint_dir)
         else:
             self.warmup(q0, v0)
+            if eval_hook is not None:
+                logs.append({"iteration": "warmup", **eval_hook(self)})
             if checkpoint_dir:
                 self.save_checkpoint(checkpoint_dir, 0, logs)
         gated = self._make_gated_rollout()
@@ -236,17 +257,18 @@ class _IterativeDriver:
             res = gated(qb, vb, vds, wds, keys)
             added = self._aggregate(res)
             report = self._train()
-            logs.append(
-                {
-                    "iteration": it,
-                    "datapoints_added": added,
-                    "database_size": len(self.database),
-                    "train_loss": report.train_losses[-1],
-                    "valid_loss": report.valid_losses[-1],
-                    "mpc_usage": float(np.mean(np.asarray(res.mpc_usage))),
-                    "failed_frac": float(np.mean(np.asarray(res.failed))),
-                }
-            )
+            entry = {
+                "iteration": it,
+                "datapoints_added": added,
+                "database_size": len(self.database),
+                "train_loss": report.train_losses[-1],
+                "valid_loss": report.valid_losses[-1],
+                "mpc_usage": float(np.mean(np.asarray(res.mpc_usage))),
+                "failed_frac": float(np.mean(np.asarray(res.failed))),
+            }
+            if eval_hook is not None:
+                entry.update(eval_hook(self))
+            logs.append(entry)
             if checkpoint_dir:
                 self.save_checkpoint(checkpoint_dir, it + 1, logs)
         return logs
@@ -260,14 +282,18 @@ class Dagger(_IterativeDriver):
     def _make_gated_rollout(self):
         spec, sp, rcfg, cfg = self.spec, self.sim_params, self.rcfg, self.cfg
 
-        def one(q, v, vd, wd, key):
+        def one(q, v, vd, wd, key, ptree):
+            pol_fn = networks.policy_fn_from_tree(self.policy.module, ptree)
             return rollout.rollout_dagger(
                 spec, sp, rcfg, physics.SimState(q=q, v=v), vd, wd,
-                self._policy_fn(), key, mpc_usage_percentage=cfg.mpc_usage_percentage,
+                pol_fn, key, mpc_usage_percentage=cfg.mpc_usage_percentage,
                 admm_cfg=self.admm_cfg, ddp_cfg=self.ddp_cfg,
             )
 
-        return jax.jit(jax.vmap(one))
+        run = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0, None)))
+        return lambda qb, vb, vds, wds, keys: run(
+            qb, vb, vds, wds, keys, networks.policy_tree(self.policy)
+        )
 
 
 class SafeDagger(_IterativeDriver):
@@ -278,14 +304,18 @@ class SafeDagger(_IterativeDriver):
     def _make_gated_rollout(self):
         spec, sp, rcfg, cfg = self.spec, self.sim_params, self.rcfg, self.cfg
 
-        def one(q, v, vd, wd, key):
+        def one(q, v, vd, wd, key, ptree):
+            pol_fn = networks.policy_fn_from_tree(self.policy.module, ptree)
             return rollout.rollout_safedagger(
                 spec, sp, rcfg, physics.SimState(q=q, v=v), vd, wd,
-                self._policy_fn(), num_steps_to_block=cfg.num_steps_to_block,
+                pol_fn, num_steps_to_block=cfg.num_steps_to_block,
                 admm_cfg=self.admm_cfg, ddp_cfg=self.ddp_cfg,
             )
 
-        return jax.jit(jax.vmap(one))
+        run = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0, None)))
+        return lambda qb, vb, vds, wds, keys: run(
+            qb, vb, vds, wds, keys, networks.policy_tree(self.policy)
+        )
 
 
 def weighted_vc_error(states, fail_step, failed, v_des, w_des):
@@ -350,12 +380,16 @@ class LocoSafeDagger(_IterativeDriver):
     def _make_policy_rollout(self):
         spec, sp, rcfg = self.spec, self.sim_params, self.rcfg
 
-        def one(q, v, vd, wd):
+        def one(q, v, vd, wd, ptree):
+            pol_fn = networks.policy_fn_from_tree(self.policy.module, ptree)
             return rollout.rollout_policy(
-                spec, sp, rcfg, physics.SimState(q=q, v=v), vd, wd, self._policy_fn()
+                spec, sp, rcfg, physics.SimState(q=q, v=v), vd, wd, pol_fn
             )
 
-        return jax.jit(jax.vmap(one))
+        run = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None)))
+        return lambda qb, vb, vds, wds: run(
+            qb, vb, vds, wds, networks.policy_tree(self.policy)
+        )
 
     def select_rollout(self, res_mpc, res_policy, v_des, w_des):
         """The reference decision rule (locosafedagger_modified.py:586-605):
@@ -369,7 +403,14 @@ class LocoSafeDagger(_IterativeDriver):
         )
         return ("mpc" if e_mpc < e_policy else "policy"), e_mpc, e_policy
 
-    def run(self, q0, v0, checkpoint_dir: str | None = None, resume: bool = False):
+    def run(
+        self,
+        q0,
+        v0,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
+        eval_hook=None,
+    ):
         start_it, logs = 0, []
         if resume and checkpoint_dir and os.path.exists(
             os.path.join(checkpoint_dir, "state.json")
@@ -377,6 +418,8 @@ class LocoSafeDagger(_IterativeDriver):
             start_it, logs = self.load_checkpoint(checkpoint_dir)
         else:
             self.warmup(q0, v0)
+            if eval_hook is not None:
+                logs.append({"iteration": "warmup", **eval_hook(self)})
             if checkpoint_dir:
                 self.save_checkpoint(checkpoint_dir, 0, logs)
         policy_rollout = self._make_policy_rollout()
@@ -404,20 +447,21 @@ class LocoSafeDagger(_IterativeDriver):
             self.posterior = bayes.update_goal_distribution(self.posterior, like)
 
             report = self._train()
-            logs.append(
-                {
-                    "iteration": it,
-                    "goal": goal.tolist(),
-                    "aggregated": choice,
-                    "e_mpc": e_mpc,
-                    "e_policy": e_policy,
-                    "tracking_error": err,
-                    "datapoints_added": added,
-                    "database_size": len(self.database),
-                    "train_loss": report.train_losses[-1],
-                    "valid_loss": report.valid_losses[-1],
-                }
-            )
+            entry = {
+                "iteration": it,
+                "goal": goal.tolist(),
+                "aggregated": choice,
+                "e_mpc": e_mpc,
+                "e_policy": e_policy,
+                "tracking_error": err,
+                "datapoints_added": added,
+                "database_size": len(self.database),
+                "train_loss": report.train_losses[-1],
+                "valid_loss": report.valid_losses[-1],
+            }
+            if eval_hook is not None:
+                entry.update(eval_hook(self))
+            logs.append(entry)
             if checkpoint_dir:
                 self.save_checkpoint(checkpoint_dir, it + 1, logs)
         return logs

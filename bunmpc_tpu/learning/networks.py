@@ -54,6 +54,33 @@ class PolicyBundle:
         return self.module.apply({"params": self.params}, x)
 
 
+def policy_tree(bundle: "PolicyBundle") -> dict:
+    """The traced half of a PolicyBundle: params + normalization arrays as a
+    plain pytree. Pass THIS through jit argument lists — closing over the
+    bundle inside a jitted function bakes the weights as compile-time
+    constants, so later calls silently reuse the first iteration's policy."""
+    return {
+        "params": bundle.params,
+        "state_mean": bundle.state_mean,
+        "state_std": bundle.state_std,
+        "goal_mean": bundle.goal_mean,
+        "goal_std": bundle.goal_std,
+    }
+
+
+def policy_fn_from_tree(module: GoalConditionedPolicyNet, tree: dict):
+    """(state, goal) -> action closure over a traced policy pytree; the
+    module (static architecture) is the only captured constant."""
+
+    def fn(state, goal):
+        s = (state - tree["state_mean"]) / tree["state_std"]
+        g = (goal - tree["goal_mean"]) / tree["goal_std"]
+        x = jnp.concatenate([s, g], axis=-1)
+        return module.apply({"params": tree["params"]}, x)
+
+    return fn
+
+
 def init_policy(rng, input_size: int, output_size: int = 12, **kwargs):
     module = GoalConditionedPolicyNet(output_size=output_size, **kwargs)
     params = module.init(rng, jnp.zeros((1, input_size)))["params"]

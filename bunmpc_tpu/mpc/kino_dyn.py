@@ -56,6 +56,16 @@ class CyclicMpcSpec:
     by: float = 0.45
     bz: float = 0.45
     f_max: float = 15.0
+    # ADMM default warm start: "tiled" = the reference's stay-put start
+    # (current centroidal state tiled over the horizon, kino_dyn.cpp:83-99);
+    # "vdes" = the same start with the xy/velocity rows riding the COMMAND
+    # (x_init + v_des*t). The biconvex alternation is warm-start dependent:
+    # on the Go2 the tiled start lands in a degenerate "procrastinating"
+    # basin (plan idles ~0.6 s then overshoots; executed receding-horizon
+    # slice never accelerates -> trots in place), while the vdes start lands
+    # on a front-loaded plan that tracks the command (round-4 diagnosis,
+    # scripts/probe_go2_trace.py).
+    warm_start_style: str = "tiled"
 
     @property
     def n_eff(self) -> int:
@@ -72,6 +82,7 @@ def make_cyclic_spec(
     foot_size: float = 0.018,
     x_reg: np.ndarray | None = None,
     offset_style: str | None = None,
+    warm_start_style: str | None = None,
 ) -> CyclicMpcSpec:
     """Host-side setup: Raibert planning offsets relative to the CoM at q0,
     composite inertia for the yaw-momentum target (abstract_cyclic_gen.py:
@@ -86,9 +97,17 @@ def make_cyclic_spec(
     * "generic": foot - com, no nudges (AbstractGaitGen, the reference's
       Go2-capable path, abstract_cyclic_gen1.py:50-65).
     * None (default): "solo12_hip" for the solo family, else "generic".
+
+    ``warm_start_style`` (None -> "tiled" for the solo family — reference
+    parity, the frozen e2e fixtures depend on it — else "vdes"): see
+    CyclicMpcSpec.warm_start_style.
     """
     if offset_style is None:
         offset_style = "solo12_hip" if model.name.startswith("solo") else "generic"
+    if warm_start_style is None:
+        warm_start_style = "tiled" if model.name.startswith("solo") else "vdes"
+    if warm_start_style not in ("tiled", "vdes"):
+        raise ValueError(f"unknown warm_start_style {warm_start_style!r}")
     q0j = jnp.asarray(q0)
     com0 = np.asarray(K.com(model, q0j))
     if offset_style == "solo12_hip":
@@ -138,6 +157,7 @@ def make_cyclic_spec(
         x_reg=np.asarray(x_reg),
         size=size,
         n_int=n_int,
+        warm_start_style=warm_start_style,
     )
 
 
@@ -251,6 +271,13 @@ def _prepare_problem(
 
     if warm_start is None:
         X_wm = jnp.tile(x_init, (H + 1, 1))  # kino_dyn.cpp:83-99
+        if spec.warm_start_style == "vdes":
+            # ride the command: xy ramp + velocity rows at v_des. Selects the
+            # front-loaded basin of the biconvex alternation (see
+            # CyclicMpcSpec.warm_start_style).
+            tgrid = jnp.concatenate([jnp.zeros(1, dtype), jnp.cumsum(dt_arr)])
+            X_wm = X_wm.at[:, 0:2].add(tgrid[:, None] * v_des_w[None, 0:2])
+            X_wm = X_wm.at[:, 3:6].set(v_des_w[None, :])
         F_wm = jnp.zeros((H, spec.n_eff, 3), dtype)
     else:
         X_wm, F_wm = warm_start[0], warm_start[1]

@@ -35,7 +35,14 @@ trot = BiconvexMotionParams(
     reg_wt=(5e-2, 1e-5),
     W_X=np.array([1e-5, 1e-5, 1e5, 1e1, 1e1, 2e2, 1e4, 1e4, 1e4]),
     W_X_ter=10.0 * np.array([1e5, 1e-5, 1e5, 1e1, 1e1, 2e2, 1e5, 1e5, 1e5]),
-    W_F=np.array([1e1, 1e1, 1e1] * 4),
+    # Force regularization scales with the SQUARE of the force magnitude:
+    # Go2 stance forces are ~6x Solo12's (74 N vs 12 N per leg), so the
+    # Solo12 W_F=1e1 over-penalizes them 36x — the round-4 diagnosis of the
+    # Go2 collapse: the "optimal" plan starved stance Fz (~110 N << mg=148)
+    # and flew the CoM up into its 0.45 m kinematic bound before crashing
+    # (scripts/probe_go2_trace.py). (m_solo/m_go2)^2 ~ 0.027 -> W_F ~ 0.1;
+    # measured: com-z plan excursion 0.29-0.32 m at 0.1 vs 0.29-0.47 at 1e1.
+    W_F=np.array([1e-1, 1e-1, 1e-1] * 4),
     rho=2e5,  # scales with mass: ADMM penalty must match 6x larger momentum rows
     ori_correction=(0.3, 0.5, 0.4),
     gait_horizon=2.0,
@@ -76,7 +83,7 @@ bound = BiconvexMotionParams(
     reg_wt=(7e-3, 7e-5),
     W_X=np.array([1e-5, 1e-5, 5e4, 1e1, 1e1, 1e3, 5e3, 1e4, 5e3]),
     W_X_ter=10.0 * np.array([1e-5, 1e-5, 5e4, 1e1, 1e1, 1e3, 1e4, 1e4, 1e4]),
-    W_F=np.array([1e1, 1e1, 1.5e1] * 4),
+    W_F=np.array([1e-1, 1e-1, 1.5e-1] * 4),  # force-scale^2 scaling, see trot
     rho=4e5,  # bound's flight phases need a stiffer penalty than the trot's
     # 2e5 (measured: 2e5 diverges to NaN at ~iter 240 on the nominal window;
     # 4e5 converges @1e-3 in ~110 iters)
@@ -87,4 +94,20 @@ bound = BiconvexMotionParams(
     kd=2.0,
 )
 
-GAITS = {"trot": trot, "trot_extended": trot_extended, "bound": bound}
+# In-sim validated trot (round-4 stability sweep, artifacts/
+# stability_sweep_go2.json): with the W_F fix + "vdes" warm start the Go2
+# walks 3 s @ 0.3 m/s on the implicit contact model with kp=60/kd=3.0,
+# ContactParams(kn=6e4, dn=3000, kt=3000), swing_blend=0.5, force_gate=1.0,
+# warm_start_carry off — roll_max 4.2 deg, pitch_max 4.8 deg, z_end within
+# 3 mm of nom_ht, vx_end 0.281. Gated by tests/test_gait_quality.py.
+import dataclasses as _dc
+
+trot_sim = _dc.replace(trot, motion_name="trot_sim", kp=60.0, kd=3.0)
+
+
+GAITS = {
+    "trot": trot,
+    "trot_sim": trot_sim,
+    "trot_extended": trot_extended,
+    "bound": bound,
+}

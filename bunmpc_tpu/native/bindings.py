@@ -19,6 +19,7 @@ _DIR = os.path.dirname(__file__)
 _SRCS = [
     os.path.join(_DIR, "src", "bunmpc_native.cpp"),
     os.path.join(_DIR, "src", "bunmpc_ik.cpp"),
+    os.path.join(_DIR, "src", "bunmpc_plan.cpp"),
 ]
 _LIB = os.path.join(_DIR, "libbunmpc_native.so")
 
@@ -327,3 +328,62 @@ def kinodyn_solve(
     )
     return dict(X=X, F=F, viol=viol.value, admm_iters=iters.value,
                 xs=xs, us=us, ik_cost=cost.value)
+
+
+def prepare_problem(
+    model, eff_frames, hip_frames, q0, params,
+    q, v, t, v_des, w_des,
+    use_hip_nudges=True, foot_size=0.018, round3=True, y_anchor=0.0,
+    bx=0.45, by=0.45, bz=0.45, ik_hor=None,
+):
+    """Full problem assembly from raw (q, v, t, v_des, w_des) — independent
+    C++ twin of the reference create_cnt_plan + create_costs chain
+    (abstract_cyclic_gen.py:159-414, :532-614; src/motion_planner/
+    biconvex.cpp:27-57). ``params`` is a BiconvexMotionParams. Returns a dict
+    with the contact plan, cost tables, bounds, and IK ee task arrays."""
+    lib = load()
+    margs, keep = _model_args(model, eff_frames)
+    hip_body = np.ascontiguousarray(
+        [model.frames[n].body for n in hip_frames], dtype=np.int32
+    )
+    hip_pos = _as64(np.stack([model.frames[n].pos for n in hip_frames]))
+    ne = len(eff_frames)
+    H = params.horizon
+    if ik_hor is None:
+        ik_hor = params.ik_horizon(0.5)
+    cnt = np.zeros((H, ne))
+    r = np.zeros((H, ne, 3))
+    dts = np.zeros(H)
+    x_init = np.zeros(9)
+    W = np.zeros((H + 1, 9))
+    X_ref = np.zeros((H + 1, 9))
+    W_F = np.zeros((H, ne, 3))
+    lb_x = np.zeros((H + 1, 9))
+    ub_x = np.zeros((H + 1, 9))
+    ee_wts = np.zeros((ik_hor, ne))
+    ee_targets = np.zeros((ik_hor, ne, 3))
+    lib.bunmpc_prepare_problem(
+        *margs,
+        _iptr(hip_body), _dptr(hip_pos), _dptr(_as64(q0)),
+        ctypes.c_int(1 if use_hip_nudges else 0),
+        ctypes.c_double(foot_size),
+        ctypes.c_double(params.gait_period), ctypes.c_double(params.gait_dt),
+        _dptr(_as64(params.stance_percent)), _dptr(_as64(params.phase_offset)),
+        ctypes.c_double(params.step_ht), ctypes.c_double(params.nom_ht),
+        ctypes.c_double(params.gait_horizon),
+        _dptr(_as64(params.W_X)), _dptr(_as64(params.W_X_ter)),
+        _dptr(_as64(params.W_F)), _dptr(_as64(params.ori_correction)),
+        ctypes.c_double(params.swing_wt[0]), ctypes.c_double(params.swing_wt[1]),
+        ctypes.c_double(bx), ctypes.c_double(by), ctypes.c_double(bz),
+        ctypes.c_int(H), ctypes.c_int(ik_hor), ctypes.c_int(1 if round3 else 0),
+        ctypes.c_double(float(y_anchor)),
+        _dptr(_as64(q)), _dptr(_as64(v)), ctypes.c_double(float(t)),
+        _dptr(_as64(v_des)), ctypes.c_double(float(w_des)),
+        _dptr(cnt), _dptr(r), _dptr(dts), _dptr(x_init), _dptr(W),
+        _dptr(X_ref), _dptr(W_F), _dptr(lb_x), _dptr(ub_x),
+        _dptr(ee_wts), _dptr(ee_targets),
+    )
+    return dict(
+        cnt=cnt, r=r, dts=dts, x_init=x_init, W=W, X_ref=X_ref, W_F=W_F,
+        lb_x=lb_x, ub_x=ub_x, ee_wts=ee_wts, ee_targets=ee_targets,
+    )

@@ -131,6 +131,36 @@ def state_is_dangerous(q, z_bounds=(0.15, 1.0), body_angle_deg=25.0):
     return bad
 
 
+def leg_joint_mask(model: RobotModel, eff_frames):
+    """Static (n_eff, n_joints) incidence matrix: 1 where the actuated joint
+    lies on the kinematic path from the base to that end-effector frame."""
+    import numpy as np
+
+    mask = np.zeros((len(eff_frames), model.nv - 6), np.float32)
+    for e, name in enumerate(eff_frames):
+        for j in model.ancestors(model.frames[name].body):
+            mask[e, j] = 1.0
+    return mask
+
+
+def swing_blend_scale(leg_mask_j, planned_st, meas_cnt, sb):
+    """Per-joint PD-feedback scale for contact-adaptive swing release.
+
+    Legs whose foot the gait plans as SWINGING (``planned_st == 0``) but that
+    is MEASURED still in contact get their joints' feedback scaled by ``sb``
+    (0 = release the leg, 1 = reference behavior); all other joints get 1.
+
+    Args: leg_mask_j (n_eff, nj) from :func:`leg_joint_mask`; planned_st
+    (n_eff,) 0/1 planned stance; meas_cnt (n_eff,) bool measured contact;
+    sb scalar. Returns (nj,) scale.
+    """
+    gate = (planned_st == 0) & meas_cnt  # (ne,) bool
+    dt = leg_mask_j.dtype
+    return 1.0 - (1.0 - sb) * jnp.einsum(
+        "ej,e->j", leg_mask_j, gate.astype(dt)
+    ).clip(0.0, 1.0)
+
+
 def _measure(q, v, q_noise, v_noise):
     """Apply constant sensor bias to the measured state (quat renormalized,
     simulation.py:471-477)."""
@@ -192,7 +222,7 @@ def rollout_mpc(
     admm_cfg=None,
     ddp_cfg=None,
     gains: controllers.IdControllerGains | None = None,  # PD override (vmappable)
-    warm_start_carry: bool = True,
+    warm_start_carry: bool | None = None,
     swing_blend=None,  # optional scalar (traced/vmappable): see below
     force_gate=None,  # optional scalar (traced/vmappable): see below
 ) -> RolloutResult:
@@ -205,13 +235,19 @@ def rollout_mpc(
     *measured* state the controller sees, while the physics integrates the
     true state.
 
-    ``warm_start_carry`` (default ON since round 3; measured +7.5% rollout
-    throughput at equal stability) feeds each window's ADMM the previous
-    window's (X, F, dual) shifted one window and translated into the new
-    plan frame — a receding-horizon accelerator the reference lacks (its
-    F/P warm starts stay zero forever, kino_dyn.cpp:20-23): the masked ADMM
-    while_loop exits earlier, identical fixed points. Pass ``False`` for
-    the reference's cold-start behavior.
+    ``warm_start_carry`` (None -> ON for "tiled" warm-start specs — default
+    ON since round 3, measured +7.5% rollout throughput at equal stability —
+    and OFF for "vdes" specs like the Go2) feeds each window's ADMM the
+    previous window's (X, F, dual) shifted one window and translated into
+    the new plan frame — a receding-horizon accelerator the reference lacks
+    (its F/P warm starts stay zero forever, kino_dyn.cpp:20-23): the masked
+    ADMM while_loop exits earlier, identical fixed points when the biconvex
+    basin is unique. On "vdes" specs the carried solution drags the next
+    solve back toward the degenerate stay-put basin the vdes start exists
+    to avoid (round-4 Go2 diagnosis), hence the per-spec default. A health
+    gate drops carried solutions that are non-finite or physically insane
+    instead of re-seeding the solver with junk. Pass ``False`` for the
+    reference's cold-start behavior.
 
     ``swing_blend`` (contact-adaptive swing handling, beyond the reference):
     when a foot the gait plans as SWINGING is measured still in contact, the
@@ -245,16 +281,11 @@ def rollout_mpc(
     if ddp_cfg is not None:
         kwargs["ddp_cfg"] = ddp_cfg
     H = spec.horizon
+    if warm_start_carry is None:
+        warm_start_carry = spec.warm_start_style == "tiled"
     n_shift = max(1, int(round(cfg.plan_freq / spec.params.gait_dt)))
     if swing_blend is not None:
-        # static (n_eff, n_joints) incidence: joints on the path to each foot
-        import numpy as _np
-
-        leg_mask = _np.zeros((spec.n_eff, model.nv - 6), _np.float32)
-        for e, name in enumerate(eff):
-            for j in model.ancestors(model.frames[name].body):
-                leg_mask[e, j] = 1.0
-        leg_mask_j = jnp.asarray(leg_mask)
+        leg_mask_j = jnp.asarray(leg_joint_mask(model, eff))
 
     def window(carry, w_idx):
         state, failed, fail_step, ws_prev, prev_cnt = carry
@@ -262,11 +293,19 @@ def rollout_mpc(
         qm0, vm0 = _measure(state.q, state.v, q_noise, v_noise)
         if warm_start_carry:
             prevX, prevF, prevP, prev_xy, have_prev = ws_prev
-            # default = reference cold start: tiled current centroidal state
+            # default = the spec's cold start: tiled current centroidal state
+            # ("tiled") or the command ramp ("vdes", kino_dyn._prepare_problem)
             q_reset = qm0.at[0:2].set(0.0)
             com, h_lin, h_ang = K.centroidal_momentum(model, q_reset, vm0)
             x_init = jnp.concatenate([com, h_lin / model.total_mass, h_ang])
             defX = jnp.tile(x_init, (H + 1, 1))
+            if spec.warm_start_style == "vdes":
+                gd = jnp.asarray(spec.params.gait_dt, defX.dtype)
+                tg = jnp.arange(H + 1, dtype=defX.dtype) * gd
+                Rfull = quat_to_rot(q_reset[3:7])
+                vdw = Rfull @ v_des
+                defX = defX.at[:, 0:2].add(tg[:, None] * vdw[None, 0:2])
+                defX = defX.at[:, 3:6].set(vdw[None, :])
             # shift previous solution one window and translate xy into the
             # new plan frame (plan frames are origin-reset at the base xy)
             dxy = prev_xy - qm0[0:2]
@@ -274,10 +313,21 @@ def rollout_mpc(
             shX = shX.at[:, 0:2].add(dxy)
             shF = jnp.concatenate([prevF[n_shift:], jnp.tile(prevF[-1:], (n_shift, 1, 1))])
             shP = jnp.concatenate([prevP[n_shift:], jnp.tile(prevP[-1:], (n_shift, 1))])
+            # health gate (round 4): only reuse a previous solution that is
+            # finite and physically sane — carrying a diverged window's
+            # (X, F, dual) re-seeds the next solve with junk and the rollout
+            # NaN-aborts within a few windows (observed on Go2)
+            f_sane = 10.0 * model.total_mass * 9.81
+            healthy = (
+                have_prev
+                & jnp.all(jnp.isfinite(shX))
+                & jnp.all(jnp.isfinite(shF))
+                & (jnp.max(jnp.abs(shF)) < f_sane)
+            )
             kwargs["warm_start"] = (
-                jnp.where(have_prev, shX, defX),
-                jnp.where(have_prev, shF, jnp.zeros_like(shF)),
-                jnp.where(have_prev, shP, jnp.zeros_like(shP)),
+                jnp.where(healthy, shX, defX),
+                jnp.where(healthy, shF, jnp.zeros_like(shF)),
+                jnp.where(healthy, shP, jnp.zeros_like(shP)),
             )
         plan = KD.solve_mpc(
             spec,
@@ -317,11 +367,10 @@ def rollout_mpc(
                 # release legs whose planned-swing foot is still grounded
                 t_ms = jnp.asarray(sim_t, q.dtype) + i * cfg.sim_dt
                 planned_st = G.in_stance(spec.gait, t_ms)  # (ne,)
-                gate = (planned_st == 0) & prev_cnt  # (ne,) bool
-                sb = jnp.asarray(swing_blend, q.dtype)
-                scale_j = 1.0 - (1.0 - sb) * jnp.einsum(
-                    "ej,e->j", leg_mask_j.astype(q.dtype), gate.astype(q.dtype)
-                ).clip(0.0, 1.0)
+                scale_j = swing_blend_scale(
+                    leg_mask_j.astype(q.dtype), planned_st, prev_cnt,
+                    jnp.asarray(swing_blend, q.dtype),
+                )
                 tau_fb = scale_j * tau_fb
             tau = tau_ff + tau_fb
             action = _extract_action(

@@ -50,7 +50,7 @@ def main():
         )
 
     n_avail = len(jax.devices())
-    counts = sorted({1, 2, n_avail} & set(range(1, n_avail + 1)))
+    counts = sorted({1, 2, 4, 8, n_avail} & set(range(1, n_avail + 1)))
     rates = {}
     for n in counts:
         mesh = batch_mesh(n)
@@ -76,12 +76,60 @@ def main():
         print(f"{n} devices: B={B} -> {rates[n]:.1f} solves/s")
 
     eff = scaling_efficiency(rates)
-    if jax.devices()[0].platform == "cpu":
-        print(
-            "NOTE: virtual CPU devices share the same host cores — this run "
-            "validates the sharded program, not scaling efficiency."
+    platform = jax.devices()[0].platform
+    doc = {
+        "platform": platform,
+        "n_devices": n_avail,
+        "per_device": per_device,
+        "fast_budget": fast,
+        "rates": {str(k): round(v, 1) for k, v in rates.items()},
+        "efficiency": eff,
+    }
+    if platform == "cpu":
+        doc["note"] = (
+            "virtual CPU devices share the same host cores — this run "
+            "validates the sharded program (psum/sharding correctness), "
+            "not hardware scaling efficiency"
         )
+        print("NOTE:", doc["note"])
+
+    if platform == "tpu" and n_avail == 1:
+        # single-chip batch-scaling table (the one-chip analog of device
+        # scaling: throughput vs batch shows where the chip saturates and
+        # what a second chip would buy at fixed per-chip batch)
+        bs_rates = {}
+        solve_b = jax.jit(
+            lambda q, v, t, vd, wd: KD.solve_mpc_batch(spec, q, v, t, vd, wd)
+        )
+        for B in (128, 256, 512):
+            rng = np.random.default_rng(0)
+            q = jnp.asarray(np.tile(Solo12Config.q0(), (B, 1)), jnp.float32)
+            v = jnp.zeros((B, 18), jnp.float32)
+            t = jnp.zeros(B, jnp.float32)
+            vd = jnp.tile(jnp.asarray([0.2, 0.0, 0.0], jnp.float32), (B, 1))
+            wd = jnp.zeros(B, jnp.float32)
+            jax.block_until_ready(solve_b(q, v, t, vd, wd))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                jax.block_until_ready(solve_b(q, v, t, vd, wd))
+            dt = (time.perf_counter() - t0) / 3
+            bs_rates[str(B)] = round(B / dt, 1)
+            print(f"B={B}: {bs_rates[str(B)]} solves/s (fused pallas path)")
+        doc["single_chip_batch_scaling"] = bs_rates
+
+    out = args.get(
+        "out",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "artifacts",
+            f"multichip_scaling_{platform}.json",
+        ),
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as fh:
+        json.dump(doc, fh, indent=1)
     print(json.dumps({"rates": rates, "efficiency": eff}))
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":

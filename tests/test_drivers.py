@@ -73,6 +73,47 @@ def test_safedagger_loop_runs(spec):
     assert out.shape == (12,)
 
 
+def test_gated_rollout_tracks_policy_updates(spec):
+    """Regression (round-4 fix): the jitted gated rollout must see UPDATED
+    policy weights on later iterations. Before the fix the first trace baked
+    the warmup policy's params as constants, so every iteration >= 1 rolled
+    out a stale policy."""
+    cfg = DaggerConfig(
+        episode_length=200,
+        n_iterations=1,
+        rollouts_per_iteration=1,
+        vx_range=(0.1, 0.2),
+        vy_range=(0.0, 0.0),
+        w_range=(0.0, 0.0),
+        warmup_bc_epochs=3,
+        bc=BcConfig(n_epoch=2, batch_size=64, num_hidden_layer=2, hidden_dim=32),
+    )
+    driver = SafeDagger(spec, cfg, admm_cfg=FAST_ADMM, ddp_cfg=FAST_DDP)
+    driver.warmup(Solo12Config.q0(), Solo12Config.v0())
+    gated = driver._make_gated_rollout()
+
+    import jax
+
+    B = 1
+    qb = jnp.tile(jnp.asarray(Solo12Config.q0(), jnp.float32)[None], (B, 1))
+    vb = jnp.zeros((B, 18), jnp.float32)
+    vds = jnp.tile(jnp.asarray([0.15, 0.0, 0.0], jnp.float32)[None], (B, 1))
+    wds = jnp.zeros(B, jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    res1 = gated(qb, vb, vds, wds, keys)
+
+    # perturb the policy hard; the SAME compiled gated fn must produce a
+    # different episode (policy-controlled steps change)
+    import dataclasses as dc
+
+    driver.policy = dc.replace(
+        driver.policy,
+        params=jax.tree.map(lambda p: p + 1.0, driver.policy.params),
+    )
+    res2 = gated(qb, vb, vds, wds, keys)
+    assert np.max(np.abs(np.asarray(res1.actions) - np.asarray(res2.actions))) > 1e-4
+
+
 def test_safedagger_checkpoint_resume(spec, tmp_path):
     """Elastic resume: a driver checkpoints every iteration; a fresh driver
     resumes mid-loop with identical state (database, RNG streams, logs) and

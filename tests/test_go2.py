@@ -157,4 +157,8 @@ def test_go2_bound_and_extended_horizon_solve(model, gait_name):
         F = np.asarray(res.F)
         cnt = np.asarray(pr["plan"].cnt)
         fz_mean = (cnt * F[..., 2]).sum(-1).mean()
-        assert abs(fz_mean - 15.097 * 9.81 / 2) < 60.0  # ~half weight per pair
+        # per-knot total stance Fz must average ~the robot's weight (148 N):
+        # a sustained gait carries mg. The round-3 tables (W_F copied from
+        # Solo12) starved this to ~mg/2 — the Go2 collapse root cause fixed
+        # in round 4 by force-scale^2 W_F scaling (go2_cyclic.py).
+        assert abs(fz_mean - 15.097 * 9.81) < 40.0, fz_mean

@@ -187,6 +187,37 @@ def test_walk_gait_solves():
     assert np.all(np.abs(X[:, 2] - walk.nom_ht) < 0.08)
 
 
+@pytest.mark.parametrize("name", ["bound_turn", "air_bound"])
+def test_bound_variants_solve(name):
+    """bound_turn / air_bound (reference solo12_bound.py:49-120) converge and
+    hold the CoM near nom_ht; bound_turn additionally under a yaw command
+    (its raison d'etre — gait_horizon 1.0 + softened yaw tracking)."""
+    g = GAITS[name]
+    model = Solo12Config.load_model()
+    spec2 = KD.make_cyclic_spec(model, g, Solo12Config.q0())
+    q = jnp.asarray(Solo12Config.q0())
+    wd = 0.5 if name == "bound_turn" else 0.0
+    plan = jax.jit(lambda q, v, t, vd, wd: KD.solve_mpc(spec2, q, v, t, vd, wd))(
+        q, jnp.zeros(18), jnp.asarray(0.0), jnp.asarray([0.2, 0.0, 0.0]), jnp.asarray(wd)
+    )
+    assert float(plan.dyn_violation) < 1e-3, name
+    X = np.asarray(plan.X_opt)
+    assert np.all(np.abs(X[:, 2] - g.nom_ht) < 0.08), name
+    assert np.all(np.isfinite(np.asarray(plan.xs_int))), name
+    if name == "air_bound":
+        # 0.4 stance percent: the continuous-time gait has full-flight gaps
+        # (phase 0.4-0.5 and 0.9-1.0). At gait_dt=0.05 on a 0.3 s period the
+        # 0.03 s gaps fall BETWEEN knots, so assert the phase machine itself
+        # (the knot grid never samples a flight instant; reference gait
+        # planner semantics, gait_planner.cpp:46-58)
+        st = np.asarray(
+            jax.vmap(lambda tt: G.in_stance(spec2.gait, tt))(
+                jnp.asarray([0.42 * 0.3, 0.95 * 0.3])
+            )
+        )
+        assert not st.any(), "air_bound phase machine missing flight gaps"
+
+
 def test_warm_start_accelerates_admm(spec):
     """Receding-horizon warm start (previous solution + dual, shifted one
     window) must converge in no more ADMM iterations than the reference's

@@ -217,6 +217,69 @@ def test_id_controller_force_gating():
     assert float(jnp.max(jnp.abs(tau_g[:3] - tau_all[:3]))) > 0.05
 
 
+def test_swing_blend_scale():
+    """swing_blend joint scaling (sim/rollout.py): the leg incidence mask
+    covers exactly 3 joints per Solo12 leg, and the scale releases precisely
+    the planned-swing legs that are measured grounded."""
+    model = Solo12Config.load_model()
+    eff = tuple(Solo12Config.eff_names)
+    mask = rollout.leg_joint_mask(model, eff)
+    assert mask.shape == (4, 12)
+    # each leg drives exactly its own 3 serial joints; legs are disjoint
+    np.testing.assert_array_equal(mask.sum(axis=1), np.full(4, 3.0))
+    np.testing.assert_array_equal(mask.sum(axis=0), np.ones(12))
+
+    mask_j = jnp.asarray(mask)
+    planned_st = jnp.asarray([1, 0, 0, 1])  # legs 1,2 planned swing
+    meas_cnt = jnp.asarray([True, True, False, True])  # leg 1 still grounded
+    sb = jnp.asarray(0.25, jnp.float32)
+    scale = np.asarray(rollout.swing_blend_scale(mask_j, planned_st, meas_cnt, sb))
+    # only leg 1 (planned swing AND measured contact) is released to sb
+    expected = np.ones(12)
+    expected[mask[1] > 0] = 0.25
+    np.testing.assert_allclose(scale, expected, atol=1e-7)
+    # sb=1 is identity regardless of contact state
+    ones = np.asarray(
+        rollout.swing_blend_scale(mask_j, planned_st, meas_cnt, jnp.asarray(1.0, jnp.float32))
+    )
+    np.testing.assert_allclose(ones, np.ones(12), atol=1e-7)
+    # sb=0 fully releases; stance legs and airborne swing legs untouched
+    zero = np.asarray(
+        rollout.swing_blend_scale(mask_j, planned_st, meas_cnt, jnp.asarray(0.0, jnp.float32))
+    )
+    expected0 = np.ones(12)
+    expected0[mask[1] > 0] = 0.0
+    np.testing.assert_allclose(zero, expected0, atol=1e-7)
+
+
+def test_rollout_mpc_swing_blend_changes_torques():
+    """swing_blend plumbed through rollout_mpc: a grounded planned-swing leg
+    gets scaled feedback — the episode must differ from the reference path
+    (sb=None) while staying finite."""
+    model = Solo12Config.load_model()
+    from bunmpc_tpu.mpc import kino_dyn as KD
+    from bunmpc_tpu.mpc.motions.solo12_cyclic import trot
+
+    spec = KD.make_cyclic_spec(model, trot, Solo12Config.q0())
+    sim_params = physics.SimParams()
+    cfg = rollout.RolloutConfig(episode_length=100, gait_period=trot.gait_period)
+    state0 = physics.SimState(
+        q=jnp.asarray(Solo12Config.q0()), v=jnp.zeros(model.nv)
+    )
+    vd, wd = jnp.asarray([0.2, 0.0, 0.0]), jnp.asarray(0.0)
+    run = jax.jit(
+        lambda sb: rollout.rollout_mpc(
+            spec, sim_params, cfg, state0, vd, wd, swing_blend=sb
+        ).actions
+    )
+    a_ref = np.asarray(run(jnp.asarray(1.0)))  # sb=1 == reference behavior
+    a_blend = np.asarray(run(jnp.asarray(0.0)))
+    assert np.isfinite(a_blend).all()
+    # at episode start the feet all touch down during planned swing phases
+    # of two legs -> the gate must fire somewhere in the first 100 ms
+    assert np.max(np.abs(a_ref - a_blend)) > 1e-5
+
+
 def test_action_encodings_round_trip():
     """All three reference action types (simulation.py:525-531, 760-777):
     extraction and decode are mutually consistent."""
