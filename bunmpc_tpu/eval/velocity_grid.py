@@ -28,14 +28,20 @@ class GridEvalResult:
     vy_mse: np.ndarray  # (N,)
     survived: np.ndarray  # (N,) bool
     mean_speed: np.ndarray  # (N,)
+    fail_step: np.ndarray = None  # (N,) survival time in steps (T if survived)
 
     def summary(self):
         ok = self.survived
-        return {
+        out = {
             "survival_rate": float(np.mean(ok)),
             "vx_mse_mean": float(np.mean(self.vx_mse[ok])) if ok.any() else float("nan"),
             "vy_mse_mean": float(np.mean(self.vy_mse[ok])) if ok.any() else float("nan"),
         }
+        if self.fail_step is not None:
+            # graded progress signal even when nothing survives the full
+            # episode (binary survival saturates at 0 early in learning)
+            out["mean_survival_ms"] = float(np.mean(self.fail_step))
+        return out
 
     def to_csv(self, path: str):
         """Tabular export — the portable stand-in for the reference's xlsx
@@ -63,13 +69,17 @@ def _evaluate(res, v_des, w_des, skip_steps: int):
     v_act = np.asarray(res.states[..., 0:2])  # local-frame base velocity
     vx_mse = np.mean((v_act[:, skip_steps:, 0] - np.asarray(v_des)[:, None, 0]) ** 2, axis=1)
     vy_mse = np.mean((v_act[:, skip_steps:, 1] - np.asarray(v_des)[:, None, 1]) ** 2, axis=1)
+    T = res.states.shape[1]
+    failed = np.asarray(res.failed)
+    fail_step = np.where(failed, np.asarray(res.fail_step), T)
     return GridEvalResult(
         v_des=np.asarray(v_des),
         w_des=np.asarray(w_des),
         vx_mse=vx_mse,
         vy_mse=vy_mse,
-        survived=~np.asarray(res.failed),
+        survived=~failed,
         mean_speed=v_act[:, skip_steps:, 0].mean(axis=1),
+        fail_step=fail_step,
     )
 
 

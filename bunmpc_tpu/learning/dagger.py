@@ -261,6 +261,7 @@ class _IterativeDriver:
                 "iteration": it,
                 "datapoints_added": added,
                 "database_size": len(self.database),
+                "train_loss_first": report.train_losses[0],
                 "train_loss": report.train_losses[-1],
                 "valid_loss": report.valid_losses[-1],
                 "mpc_usage": float(np.mean(np.asarray(res.mpc_usage))),
@@ -456,6 +457,7 @@ class LocoSafeDagger(_IterativeDriver):
                 "tracking_error": err,
                 "datapoints_added": added,
                 "database_size": len(self.database),
+                "train_loss_first": report.train_losses[0],
                 "train_loss": report.train_losses[-1],
                 "valid_loss": report.valid_losses[-1],
             }

@@ -372,7 +372,17 @@ def rollout_mpc(
                     jnp.asarray(swing_blend, q.dtype),
                 )
                 tau_fb = scale_j * tau_fb
-            tau = tau_ff + tau_fb
+            # actuator saturation BEFORE recording: the physics clips
+            # internally, but the recorded expert action must be the torque
+            # the actuator can actually apply — near-failure states otherwise
+            # log 1000x-limit outliers that poison BC training (round-4
+            # learning-demo diagnosis: |action| up to 1e4 with a 2.7 N m
+            # limit -> L1 loss diverges at scale)
+            tau = jnp.clip(
+                tau_ff + tau_fb,
+                -sim_params.torque_limit,
+                sim_params.torque_limit,
+            )
             action = _extract_action(
                 cfg, tau, q, v, tau_ff=tau_ff, q_des=q_des, v_des_traj=v_des_traj
             )
@@ -486,7 +496,11 @@ def _gated_rollout(
             tau_ff, tau_fb = controllers.id_joint_torques(
                 model, eff, gains, q, v, q_des, v_des_traj, plan.us_int[i], plan.f_int[i]
             )
-            tau_mpc = tau_ff + tau_fb
+            # actuator saturation before recording (see rollout_mpc): the
+            # DAgger-aggregated expert labels must be applicable torques
+            tau_mpc = jnp.clip(
+                tau_ff + tau_fb, -sim_params.torque_limit, sim_params.torque_limit
+            )
             # policy torques
             action_pol = policy_fn(feat, goal)
             tau_pol = _decode_action(cfg, action_pol, q, v)

@@ -60,7 +60,7 @@ def main():
         if len(sys.argv) > 1
         else os.path.join(root, "artifacts", "learning_demo_safedagger.jsonl")
     )
-    n_iter = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    n_iter = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     n_roll = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     ep_ms = int(sys.argv[4]) if len(sys.argv) > 4 else 2000
 
@@ -83,7 +83,7 @@ def main():
 
     # fixed eval grid, shared across stages (reference eval sweep shape:
     # vx in linspace over the command envelope, safedagger config:491-516)
-    vx_grid = np.linspace(0.0, 0.35, 8)
+    vx_grid = np.linspace(0.0, 0.33, 12)
     ecfg = rollout.RolloutConfig(
         episode_length=ep_ms,
         action_type=cfg.action_type,
@@ -103,9 +103,10 @@ def main():
             spec, sim_params, ecfg, state0, pol_fn, vx_grid, w_values=(0.0,)
         )
         s = res.summary()
-        # a single scalar for the improvement gate: mean tracking MSE with
-        # failed commands charged the worst surviving error x2 (so dying
-        # early can't look "accurate")
+        # scalar gates: (1) mean survival time (graded — binary survival
+        # saturates at 0 early in learning), (2) tracking MSE with failed
+        # commands charged the worst surviving error x2 (dying early can't
+        # look "accurate"); inf while nothing survives
         mse = res.vx_mse + res.vy_mse
         if res.survived.any():
             penalty = 2.0 * float(mse[res.survived].max())
@@ -121,6 +122,7 @@ def main():
                         "vx_des": float(res.v_des[i, 0]),
                         "vx_mse": float(res.vx_mse[i]),
                         "survived": bool(res.survived[i]),
+                        "survival_ms": int(res.fail_step[i]),
                         "mean_speed": float(res.mean_speed[i]),
                     }
                     for i in range(len(res.w_des))
@@ -163,7 +165,9 @@ def main():
         print(
             f"  it={it} train_loss={entry.get('train_loss', float('nan')):.4f} "
             f"valid_loss={entry.get('valid_loss', float('nan')):.4f} "
-            f"survival={ev.get('survival_rate')} score={ev.get('tracking_score')}"
+            f"survival={ev.get('survival_rate')} "
+            f"mean_survival_ms={ev.get('mean_survival_ms')} "
+            f"score={ev.get('tracking_score')}"
         )
 
 

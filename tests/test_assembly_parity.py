@@ -152,6 +152,7 @@ def test_y_anchor_deviation_immaterial(setup):
     assert abs(com_y) * float(trot.W_X[1]) < 1e-3
 
 
+@pytest.mark.slow
 def test_raw_to_solution_native_chain_parity(setup):
     """THE closing check: raw (q, v, t, v_des, w_des) -> (X, F, xs, us)
     through the FULLY native pipeline (prepare_problem + kinodyn_solve, no

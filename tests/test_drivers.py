@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from bunmpc_tpu.learning.bc import BcConfig
 from bunmpc_tpu.learning.dagger import DaggerConfig, SafeDagger
 from bunmpc_tpu.learning.data_collection import DataCollection, DataCollectionConfig

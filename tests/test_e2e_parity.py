@@ -33,6 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from bunmpc_tpu.mpc import ik as IK
 from bunmpc_tpu.mpc import kino_dyn as KD
 from bunmpc_tpu.mpc.motions.solo12_cyclic import trot

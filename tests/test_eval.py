@@ -29,6 +29,7 @@ def sim_params():
     return physics.SimParams(contact=physics.ContactParams(mu=1.0))
 
 
+@pytest.mark.slow
 def test_velocity_grid_eval(spec, sim_params, tmp_path):
     cfg = rollout.RolloutConfig(
         episode_length=400, kp=trot.kp, kd=trot.kd, gait_period=trot.gait_period
@@ -48,6 +49,7 @@ def test_velocity_grid_eval(spec, sim_params, tmp_path):
     assert os.path.getsize(csv_path) > 50
 
 
+@pytest.mark.slow
 def test_max_force_search(spec, sim_params):
     cfg = rollout.RolloutConfig(
         episode_length=400, kp=trot.kp, kd=trot.kd, gait_period=trot.gait_period
@@ -103,6 +105,7 @@ def test_cc_replanning_comparison(spec, sim_params, tmp_path):
     assert sum(1 for _ in open(path)) == 1 + 3 * 2
 
 
+@pytest.mark.slow
 def test_past_goals_forgetting_matrix(spec):
     """Past-goals policy eval (reference test_policy_rollout_with_past_goals
     :481-660): sequential goals, each iteration's policy re-evaluated on all

@@ -88,6 +88,7 @@ def test_stage_jacobians_match_autodiff(setup):
     np.testing.assert_allclose(np.asarray(Jt_a), np.asarray(Jt_o), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_solve_ik_same_solution_both_paths(setup):
     model, eff, tasks, x, u = setup
     x0 = jnp.asarray(np.concatenate([Solo12Config.q0(), np.zeros(model.nv)]))

@@ -138,6 +138,7 @@ def test_mpc_swing_tracking(solve):
     assert heights[:, 3].max() > heights[0, 3] + 0.01
 
 
+@pytest.mark.slow
 def test_mpc_vmap_batch(spec):
     """The flagship property: vmapped MPC — many commands solved in one
     program, matching single solves."""
@@ -218,6 +219,7 @@ def test_bound_variants_solve(name):
         assert not st.any(), "air_bound phase machine missing flight gaps"
 
 
+@pytest.mark.slow
 def test_warm_start_accelerates_admm(spec):
     """Receding-horizon warm start (previous solution + dual, shifted one
     window) must converge in no more ADMM iterations than the reference's
@@ -252,6 +254,7 @@ def test_warm_start_accelerates_admm(spec):
     )
 
 
+@pytest.mark.slow
 def test_rollout_mpc_warm_start_carry(spec):
     """warm_start_carry=True rollout: stays alive, matches the cold-start
     rollout closely over a short horizon."""

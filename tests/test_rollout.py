@@ -68,6 +68,7 @@ def test_sim_momentum_conservation_in_flight(sim_params):
     assert abs(float(state.v[2]) + 9.81 * 0.1) < 1e-3
 
 
+@pytest.mark.slow
 def test_rollout_mpc_short(spec, sim_params):
     """A 0.5 s MPC rollout must not fail and must collect reference-shaped data."""
     cfg = rollout.RolloutConfig(
@@ -115,6 +116,7 @@ def test_rollout_policy_runs(spec, sim_params):
     assert float(res.mpc_usage.sum()) == 0.0
 
 
+@pytest.mark.slow
 def test_rollout_safedagger_gating(spec, sim_params):
     """With an intentionally bad policy the safety gate must hand control to
     the MPC (mpc_usage > 0) and keep the episode alive longer."""
@@ -134,6 +136,7 @@ def test_rollout_safedagger_gating(spec, sim_params):
     assert float(res.mpc_usage.mean()) > 0.3  # expert took over
 
 
+@pytest.mark.slow
 def test_push_fault_injection(spec, sim_params):
     """External pushes must perturb the trajectory (fault injection, reference
     pybullet_env.apply_external_force / simulation.py:805-807)."""
@@ -252,6 +255,7 @@ def test_swing_blend_scale():
     np.testing.assert_allclose(zero, expected0, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_rollout_mpc_swing_blend_changes_torques():
     """swing_blend plumbed through rollout_mpc: a grounded planned-swing leg
     gets scaled feedback — the episode must differ from the reference path
