@@ -146,7 +146,9 @@ def main():
         times2 = _timed_reps(solve, args, n_rep)
         reran = True
         if statistics.median(times2) < statistics.median(times):
-            times = times2
+            times, times_discarded = times2, times
+        else:
+            times_discarded = times2
         spread = max(times) / max(min(times), 1e-12)
 
     dt = statistics.median(times)
@@ -167,6 +169,14 @@ def main():
         "rep_times": [round(x, 4) for x in times],
         "rep_spread": round(spread, 2),
         "reran": reran,
+        # both sides of a spread-triggered re-run stay visible (advisor
+        # round-4): the discarded run's times expose the best-case bias a
+        # keep-the-faster protocol would otherwise hide
+        **(
+            {"rep_times_discarded": [round(x, 4) for x in times_discarded]}
+            if reran
+            else {}
+        ),
         "best_committed": round(best_prior, 1),
     }
     if degraded:

@@ -19,11 +19,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..mpc import gait as G
 from ..mpc.kino_dyn import CyclicMpcSpec
 from ..sim import physics, rollout
 from . import bayes
 from . import goals as GU
 from . import networks
+from . import perturbations
 from .bc import BcConfig, train_policy
 from .database import Database
 
@@ -31,13 +33,17 @@ from .database import Database
 @dataclasses.dataclass
 class DaggerConfig:
     """Defaults mirror cfgs/dagger_modified_config.yaml /
-    safedagger_modified_config.yaml."""
+    safedagger_modified_config.yaml (trot row for the per-gait sigmas)."""
 
     episode_length: int = 2000
     n_iterations: int = 5
     rollouts_per_iteration: int = 8
     mpc_usage_percentage: float = 0.5  # DAgger mixing
-    num_steps_to_block: int = 150  # SafeDAgger safety block
+    # reference num_steps_to_block_under_safety = 2000 (4 gait cycles,
+    # safedagger_modified_config.yaml:87) — the round-4 demo's 150 released
+    # control back to the policy after 3 swing phases, far too early for the
+    # expert to actually stabilize + label a recovery segment
+    num_steps_to_block: int = 2000
     vx_range: tuple = (-0.3, 0.5)
     vy_range: tuple = (-0.2, 0.2)
     w_range: tuple = (-0.3, 0.3)
@@ -46,6 +52,31 @@ class DaggerConfig:
     database_size: int = 1_000_000
     warmup_bc_epochs: int = 150
     bc: BcConfig = dataclasses.field(default_factory=BcConfig)
+
+    # --- reference loop structure (safedagger_modified.py:274-916) ---
+    # warmup = perturbed-start MPC rollouts along the nominal trajectory
+    # (the recovery data BC needs; round-4's standing-start-only warmup
+    # produced policies that die within ~1 s), sized by rollouts_warmup
+    # commands x one gait cycle of replan points x perturbations each.
+    rollouts_warmup: int | None = None  # None -> rollouts_per_iteration
+    episode_length_warmup: int | None = None  # None -> episode_length
+    warmup_perturbations_per_replanning: int = 1
+    # per data-collection episode: gated rollouts start from perturbed
+    # states ON the nominal trajectory (num_replannings sampled replan
+    # points x num_perturbations each), not from standing
+    num_replannings: int = 1
+    num_perturbations: int = 2
+    # after each gated episode, an MPC-only rollout continues from its final
+    # state (reference ending_mpc_rollout_episode_length; 0 disables)
+    ending_mpc_rollout_ms: int = 1000
+    # contact-conditioned perturbation sigmas (reference per-gait trot row)
+    sigma_base_pos: float = 0.1
+    sigma_base_ori: float = 0.7
+    sigma_joint_pos: float = 0.2
+    sigma_vel: float = 0.2
+    # PD-settle the initial pose into contact equilibrium before episodes
+    # (the in-graph soft-contact twin of PyBullet's spawn-in-contact)
+    settle_ms: int = 500
 
 
 class _IterativeDriver:
@@ -82,25 +113,132 @@ class _IterativeDriver:
         )
         self.policy = None
         self._params = None
-        self._mpc_rollout = jax.jit(
-            jax.vmap(
-                lambda q, v, vd, wd: rollout.rollout_mpc(
-                    spec, sim_params, self.rcfg, physics.SimState(q=q, v=v), vd, wd,
-                    admm_cfg=admm_cfg, ddp_cfg=ddp_cfg,
+        self._settled = None
+        self._mpc_runs = {}
+
+    def _mpc_run(self, ep_len: int):
+        """Jitted vmapped MPC rollout of the given episode length; cached per
+        length (warmup / data / ending rollouts differ)."""
+        if ep_len not in self._mpc_runs:
+            rcfg = dataclasses.replace(self.rcfg, episode_length=ep_len)
+            spec, sp = self.spec, self.sim_params
+            self._mpc_runs[ep_len] = jax.jit(
+                jax.vmap(
+                    lambda q, v, vd, wd, st: rollout.rollout_mpc(
+                        spec, sp, rcfg, physics.SimState(q=q, v=v), vd, wd,
+                        start_time=st, admm_cfg=self.admm_cfg, ddp_cfg=self.ddp_cfg,
+                    )
                 )
             )
+        return self._mpc_runs[ep_len]
+
+    def _mpc_rollout(self, qb, vb, vds, wds, st=None, ep_len=None):
+        ep_len = ep_len or self.cfg.episode_length
+        if st is None:
+            st = jnp.zeros(qb.shape[0], jnp.float32)
+        return self._mpc_run(ep_len)(qb, vb, vds, wds, st)
+
+    def _settle(self, q0, v0):
+        """Settled standing start shared by all episodes (see
+        DaggerConfig.settle_ms)."""
+        if self._settled is None:
+            s0 = physics.SimState(
+                q=jnp.asarray(q0, jnp.float32), v=jnp.asarray(v0, jnp.float32)
+            )
+            if self.cfg.settle_ms > 0:
+                p = self.spec.params
+                s0 = rollout.settle_state(
+                    self.spec.model, tuple(self.spec.eff_frames), self.sim_params,
+                    s0, p.kp, p.kd, ms=self.cfg.settle_ms,
+                )
+            self._settled = jax.block_until_ready(s0)
+        return self._settled
+
+    # --- perturbed on-trajectory starts (safedagger_modified.py:744-815) ---
+
+    def _perturbed_starts(self, res, vds, wds, quota: int, sample_replans: bool):
+        """Build ``quota`` contact-conditioned perturbed initial states from
+        the replan points of the first gait cycle of each successful
+        benchmark episode. Returns (qb, vb, st, vdl, wdl) jnp arrays — always
+        exactly ``quota`` rows (candidates are cycled with fresh perturbation
+        draws, keeping the vmapped rollout shape static across iterations) —
+        or None when every benchmark failed before completing one cycle."""
+        p = self.spec.params
+        spp = self.rcfg.steps_per_plan
+        n_cycle = max(1, int(round(p.gait_period / p.plan_freq)))
+        n_windows = res.states.shape[1] // spp
+        n_cycle = min(n_cycle, n_windows)
+        feats = np.asarray(res.states)
+        failed = np.asarray(res.failed)
+        fstep = np.asarray(res.fail_step)
+        cands = [
+            (b, r)
+            for b in range(feats.shape[0])
+            if not (failed[b] and fstep[b] < n_cycle * spp)
+            for r in range(n_cycle)
+        ]
+        if not cands:
+            return None
+        if sample_replans:
+            idx = self.rng.integers(0, len(cands), quota)
+        else:
+            idx = np.arange(quota) % len(cands)
+        qb, vb, st, vdl, wdl = [], [], [], [], []
+        for i in idx:
+            b, r = cands[int(i)]
+            f = feats[b, r * spp]
+            q_r = np.concatenate([[0.0, 0.0], f[26:]])  # features -> q (xy=0)
+            v_r = f[:18]
+            t_r = float(r * p.plan_freq)
+            cnt = G.in_stance(self.spec.gait, jnp.asarray(t_r, jnp.float32))
+            self.key, sub = jax.random.split(self.key)
+            q0p, v0p, _ok = perturbations.sample_perturbed_state(
+                self.spec.model, self.spec.eff_frames, sub,
+                jnp.asarray(q_r, jnp.float32), jnp.asarray(v_r, jnp.float32),
+                jnp.asarray(cnt, jnp.float32),
+                sigma_base_pos=self.cfg.sigma_base_pos,
+                sigma_base_ori=self.cfg.sigma_base_ori,
+                sigma_joint_pos=self.cfg.sigma_joint_pos,
+                sigma_vel=self.cfg.sigma_vel,
+            )
+            qb.append(np.asarray(q0p))
+            vb.append(np.asarray(v0p))
+            st.append(t_r)
+            vdl.append(np.asarray(vds[b]))
+            wdl.append(float(wds[b]))
+        return (
+            jnp.asarray(np.stack(qb), jnp.float32),
+            jnp.asarray(np.stack(vb), jnp.float32),
+            jnp.asarray(np.asarray(st), jnp.float32),
+            jnp.asarray(np.stack(vdl), jnp.float32),
+            jnp.asarray(np.asarray(wdl), jnp.float32),
         )
 
     # --- phases ---
 
     def warmup(self, q0, v0):
-        """Initial expert data + BC policy (dagger_modified.py:297)."""
-        B = self.cfg.rollouts_per_iteration
-        qb = jnp.asarray(np.tile(q0, (B, 1)), jnp.float32)
-        vb = jnp.asarray(np.tile(v0, (B, 1)), jnp.float32)
-        vds, wds = self._sample_commands(B)
-        res = self._mpc_rollout(qb, vb, vds, wds)
-        self._aggregate(res, expert_only=False)
+        """Initial expert data + BC policy (reference SafeDagger.warmup,
+        safedagger_modified.py:274-461): nominal (standing-start) MPC
+        episodes for each warmup command, then perturbed-start episodes from
+        every replan point of the first gait cycle — the database BC warms up
+        on is dominated by recovery data, not a single nominal tube."""
+        cfg = self.cfg
+        n_cmd = cfg.rollouts_warmup or cfg.rollouts_per_iteration
+        ep = cfg.episode_length_warmup or cfg.episode_length
+        s0 = self._settle(q0, v0)
+        qb = jnp.tile(s0.q[None], (n_cmd, 1))
+        vb = jnp.tile(s0.v[None], (n_cmd, 1))
+        vds, wds = self._sample_commands(n_cmd)
+        bench = self._mpc_rollout(qb, vb, vds, wds, ep_len=ep)
+        self._aggregate(bench, expert_only=False)
+        p = self.spec.params
+        n_cycle = max(1, int(round(p.gait_period / p.plan_freq)))
+        quota = n_cmd * n_cycle * cfg.warmup_perturbations_per_replanning
+        pert = self._perturbed_starts(bench, vds, wds, quota, sample_replans=False)
+        if pert is not None:
+            qp, vp, st, vdl, wdl = pert
+            res = self._mpc_rollout(qp, vp, vdl, wdl, st=st, ep_len=ep)
+            self._aggregate(res, expert_only=False)
         self._train(warmup=True)
 
     def _sample_commands(self, B):
@@ -123,15 +261,28 @@ class _IterativeDriver:
         self._params = self.policy.params
         return report
 
-    def _aggregate(self, res, expert_only=True):
-        """Append expert-labeled data; failed episodes skipped, and for gated
-        rollouts only MPC-controlled steps are kept (the DAgger label rule)."""
+    # steps cut off the end of a failed episode's surviving prefix: the final
+    # ~quarter second before a fall is committed-to-falling data (saturated
+    # recovery torques at extreme states) that an imitation target should not
+    # contain (round-4 verdict: the database was dominated by near-failure
+    # data). The reference skips failed episodes entirely
+    # (data_collection.py:272-277); keeping the clean prefix preserves the
+    # recovery-tube coverage its PyBullet expert gets for free.
+    PREFIX_MARGIN = 250
+
+    def _aggregate(self, res, expert_only=True, keep=None):
+        """Append expert-labeled data; failed episodes contribute their
+        pre-failure prefix minus PREFIX_MARGIN, and for gated rollouts only
+        MPC-controlled steps are kept (the DAgger label rule).
+        ``keep``: optional (B,) bool mask dropping episodes entirely (e.g.
+        ending-MPC rollouts whose gated episode already failed — their start
+        state is frozen at the failure)."""
         added = 0
         for b in range(res.states.shape[0]):
+            if keep is not None and not bool(keep[b]):
+                continue
             if bool(res.failed[b]):
-                # keep the pre-failure prefix like the reference's truncated
-                # histories; skip entirely if it failed immediately
-                T = int(res.fail_step[b])
+                T = int(res.fail_step[b]) - self.PREFIX_MARGIN
                 if T < 100:
                     continue
             else:
@@ -247,25 +398,64 @@ class _IterativeDriver:
             if checkpoint_dir:
                 self.save_checkpoint(checkpoint_dir, 0, logs)
         gated = self._make_gated_rollout()
-        for it in range(start_it, self.cfg.n_iterations):
-            B = self.cfg.rollouts_per_iteration
-            qb = jnp.asarray(np.tile(q0, (B, 1)), jnp.float32)
-            vb = jnp.asarray(np.tile(v0, (B, 1)), jnp.float32)
-            vds, wds = self._sample_commands(B)
+        cfg = self.cfg
+        s0 = self._settle(q0, v0)
+        for it in range(start_it, cfg.n_iterations):
+            n_cmd = cfg.rollouts_per_iteration
+            vds, wds = self._sample_commands(n_cmd)
+
+            # benchmark MPC episodes give the nominal trajectories the
+            # perturbed gated starts ride on (safedagger_modified.py:700-815);
+            # their data is NOT aggregated (reference parity — only warmup
+            # and expert-labeled segments enter the database)
+            qb = jnp.tile(s0.q[None], (n_cmd, 1))
+            vb = jnp.tile(s0.v[None], (n_cmd, 1))
+            bench = self._mpc_rollout(qb, vb, vds, wds)
+            quota = n_cmd * cfg.num_replannings * cfg.num_perturbations
+            pert = self._perturbed_starts(bench, vds, wds, quota, sample_replans=True)
+            if pert is None:
+                # every benchmark fell within one gait cycle: fall back to
+                # settled standing starts so the iteration still collects
+                qp = jnp.tile(s0.q[None], (quota, 1))
+                vp = jnp.tile(s0.v[None], (quota, 1))
+                st = jnp.zeros(quota, jnp.float32)
+                rep = np.arange(quota) % n_cmd
+                vdl = jnp.asarray(np.asarray(vds)[rep], jnp.float32)
+                wdl = jnp.asarray(np.asarray(wds)[rep], jnp.float32)
+            else:
+                qp, vp, st, vdl, wdl = pert
             self.key, sub = jax.random.split(self.key)
-            keys = jax.random.split(sub, B)
-            res = gated(qb, vb, vds, wds, keys)
+            keys = jax.random.split(sub, quota)
+            res = gated(qp, vp, vdl, wdl, keys, st)
             added = self._aggregate(res)
+
+            # ending MPC rollout from each surviving episode's final state
+            # (reference ending_mpc_rollout_episode_length block,
+            # safedagger_modified.py:871-886): fresh expert data in whatever
+            # region the policy dragged the state to
+            added_end = 0
+            if cfg.ending_mpc_rollout_ms > 0:
+                st_end = st + cfg.episode_length * self.rcfg.sim_dt
+                res_end = self._mpc_rollout(
+                    res.final_state.q, res.final_state.v, vdl, wdl,
+                    st=st_end, ep_len=cfg.ending_mpc_rollout_ms,
+                )
+                added_end = self._aggregate(
+                    res_end, expert_only=False, keep=~np.asarray(res.failed)
+                )
+
             report = self._train()
             entry = {
                 "iteration": it,
-                "datapoints_added": added,
+                "datapoints_added": added + added_end,
+                "datapoints_ending_mpc": added_end,
                 "database_size": len(self.database),
                 "train_loss_first": report.train_losses[0],
                 "train_loss": report.train_losses[-1],
                 "valid_loss": report.valid_losses[-1],
                 "mpc_usage": float(np.mean(np.asarray(res.mpc_usage))),
                 "failed_frac": float(np.mean(np.asarray(res.failed))),
+                "bench_failed_frac": float(np.mean(np.asarray(bench.failed))),
             }
             if eval_hook is not None:
                 entry.update(eval_hook(self))
@@ -283,17 +473,19 @@ class Dagger(_IterativeDriver):
     def _make_gated_rollout(self):
         spec, sp, rcfg, cfg = self.spec, self.sim_params, self.rcfg, self.cfg
 
-        def one(q, v, vd, wd, key, ptree):
+        def one(q, v, vd, wd, key, st, ptree):
             pol_fn = networks.policy_fn_from_tree(self.policy.module, ptree)
             return rollout.rollout_dagger(
                 spec, sp, rcfg, physics.SimState(q=q, v=v), vd, wd,
                 pol_fn, key, mpc_usage_percentage=cfg.mpc_usage_percentage,
-                admm_cfg=self.admm_cfg, ddp_cfg=self.ddp_cfg,
+                start_time=st, admm_cfg=self.admm_cfg, ddp_cfg=self.ddp_cfg,
             )
 
-        run = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0, None)))
-        return lambda qb, vb, vds, wds, keys: run(
-            qb, vb, vds, wds, keys, networks.policy_tree(self.policy)
+        run = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, None)))
+        return lambda qb, vb, vds, wds, keys, st=None: run(
+            qb, vb, vds, wds, keys,
+            jnp.zeros(qb.shape[0], jnp.float32) if st is None else st,
+            networks.policy_tree(self.policy),
         )
 
 
@@ -305,17 +497,19 @@ class SafeDagger(_IterativeDriver):
     def _make_gated_rollout(self):
         spec, sp, rcfg, cfg = self.spec, self.sim_params, self.rcfg, self.cfg
 
-        def one(q, v, vd, wd, key, ptree):
+        def one(q, v, vd, wd, key, st, ptree):
             pol_fn = networks.policy_fn_from_tree(self.policy.module, ptree)
             return rollout.rollout_safedagger(
                 spec, sp, rcfg, physics.SimState(q=q, v=v), vd, wd,
                 pol_fn, num_steps_to_block=cfg.num_steps_to_block,
-                admm_cfg=self.admm_cfg, ddp_cfg=self.ddp_cfg,
+                start_time=st, admm_cfg=self.admm_cfg, ddp_cfg=self.ddp_cfg,
             )
 
-        run = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0, None)))
-        return lambda qb, vb, vds, wds, keys: run(
-            qb, vb, vds, wds, keys, networks.policy_tree(self.policy)
+        run = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, None)))
+        return lambda qb, vb, vds, wds, keys, st=None: run(
+            qb, vb, vds, wds, keys,
+            jnp.zeros(qb.shape[0], jnp.float32) if st is None else st,
+            networks.policy_tree(self.policy),
         )
 
 
@@ -424,13 +618,14 @@ class LocoSafeDagger(_IterativeDriver):
             if checkpoint_dir:
                 self.save_checkpoint(checkpoint_dir, 0, logs)
         policy_rollout = self._make_policy_rollout()
+        s0 = self._settle(q0, v0)
         for it in range(start_it, self.cfg.n_iterations):
             goal = bayes.random_sample_from_distribution(self.rng, self.grid, self.posterior)
             v_des = np.array([goal[0], goal[1], 0.0])
             w_des = float(goal[2])
             B = self.cfg.rollouts_per_iteration
-            qb = jnp.asarray(np.tile(q0, (B, 1)), jnp.float32)
-            vb = jnp.asarray(np.tile(v0, (B, 1)), jnp.float32)
+            qb = jnp.tile(s0.q[None], (B, 1))
+            vb = jnp.tile(s0.v[None], (B, 1))
             vds = jnp.asarray(np.tile(v_des, (B, 1)), jnp.float32)
             wds = jnp.asarray(np.full(B, w_des), jnp.float32)
 
@@ -446,6 +641,8 @@ class LocoSafeDagger(_IterativeDriver):
                 self.grid, goal, error=err if self.error_scaled_likelihood else None
             )
             self.posterior = bayes.update_goal_distribution(self.posterior, like)
+            post = np.asarray(self.posterior)
+            entropy = float(-(post[post > 0] * np.log(post[post > 0])).sum())
 
             report = self._train()
             entry = {
@@ -455,6 +652,11 @@ class LocoSafeDagger(_IterativeDriver):
                 "e_mpc": e_mpc,
                 "e_policy": e_policy,
                 "tracking_error": err,
+                # posterior concentration signal (the "Bayesian Updates" in
+                # BUNMPC's name): entropy of the goal posterior after this
+                # iteration's multiplicative update — strictly below the
+                # uniform prior's log(N) once any update has been applied
+                "posterior_entropy": entropy,
                 "datapoints_added": added,
                 "database_size": len(self.database),
                 "train_loss_first": report.train_losses[0],

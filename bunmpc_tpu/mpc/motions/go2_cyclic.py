@@ -40,7 +40,7 @@ trot = BiconvexMotionParams(
     # Solo12 W_F=1e1 over-penalizes them 36x — the round-4 diagnosis of the
     # Go2 collapse: the "optimal" plan starved stance Fz (~110 N << mg=148)
     # and flew the CoM up into its 0.45 m kinematic bound before crashing
-    # (scripts/probe_go2_trace.py). (m_solo/m_go2)^2 ~ 0.027 -> W_F ~ 0.1;
+    # (scripts/probe_gait_trace.py). (m_solo/m_go2)^2 ~ 0.027 -> W_F ~ 0.1;
     # measured: com-z plan excursion 0.29-0.32 m at 0.1 vs 0.29-0.47 at 1e1.
     W_F=np.array([1e-1, 1e-1, 1e-1] * 4),
     rho=2e5,  # scales with mass: ADMM penalty must match 6x larger momentum rows

@@ -161,6 +161,37 @@ def swing_blend_scale(leg_mask_j, planned_st, meas_cnt, sb):
     ).clip(0.0, 1.0)
 
 
+def settle_state(
+    model: RobotModel,
+    eff_frames,
+    sim_params: physics.SimParams,
+    state0: physics.SimState,
+    kp: float,
+    kd: float,
+    ms: int = 500,
+    gain_scale: float = 6.0,
+) -> physics.SimState:
+    """PD-hold the initial pose for ``ms`` steps so episodes start from a
+    physically consistent standing state (feet settled into the contact
+    model) instead of the raw configuration dropped onto the ground.
+
+    The reference's PyBullet episodes effectively start settled (the robot
+    spawns in ground contact); in the in-graph soft-contact sim the raw q0
+    begins ~foot_radius above equilibrium and the drop transient pollutes the
+    first gait cycle. Used by the gait-quality gates, the learning drivers,
+    and the demo scripts.
+    """
+    q0j = state0.q[..., 7:]
+
+    def step(s, _):
+        tau = -gain_scale * kp * (s.q[..., 7:] - q0j) - gain_scale * kd * s.v[..., 6:]
+        s2, _ = physics.step(model, eff_frames, sim_params, s, tau)
+        return s2, None
+
+    s, _ = jax.lax.scan(step, state0, None, length=ms)
+    return s
+
+
 def _measure(q, v, q_noise, v_noise):
     """Apply constant sensor bias to the measured state (quat renormalized,
     simulation.py:471-477)."""
@@ -300,8 +331,17 @@ def rollout_mpc(
             x_init = jnp.concatenate([com, h_lin / model.total_mass, h_ang])
             defX = jnp.tile(x_init, (H + 1, 1))
             if spec.warm_start_style == "vdes":
+                # same time grid as _prepare_problem's vdes start: the plan's
+                # dt schedule with the shrunk first knot (advisor round-4) —
+                # at non-knot-aligned replanning times an arange grid lands
+                # the fallback in a slightly different point than the
+                # solver's own cold start
                 gd = jnp.asarray(spec.params.gait_dt, defX.dtype)
-                tg = jnp.arange(H + 1, dtype=defX.dtype) * gd
+                t_pl = jnp.round(jnp.asarray(sim_t, defX.dtype), 3)
+                dts = jnp.full((H,), gd).at[0].set(
+                    G.first_knot_dt(spec.gait, t_pl).astype(defX.dtype)
+                )
+                tg = jnp.concatenate([jnp.zeros(1, defX.dtype), jnp.cumsum(dts)])
                 Rfull = quat_to_rot(q_reset[3:7])
                 vdw = Rfull @ v_des
                 defX = defX.at[:, 0:2].add(tg[:, None] * vdw[None, 0:2])
@@ -481,6 +521,12 @@ def _gated_rollout(
         plan = KD.solve_mpc(
             spec, state.q, state.v, jnp.round(sim_t, 3), v_des, w_des, **kwargs
         )
+        # MPC divergence abort (reference simulation.py:513-516) — without it
+        # a NaN plan feeds NaN torques into the physics and the failure
+        # predicate (NaN comparisons are False) never fires, so the episode
+        # records NaN garbage instead of failing (round-5 hardening; the
+        # ungated rollout_mpc has carried this guard since round 1)
+        mpc_bad = jnp.any(jnp.isnan(plan.f_int)) | jnp.any(jnp.isnan(plan.xs_int))
 
         def substep(inner, i):
             state, failed, fail_step, use_mpc, steps_blocked = inner
@@ -511,7 +557,7 @@ def _gated_rollout(
             )
             action = jnp.where(use_mpc, action_mpc, action_pol)
             new_state, cinfo = physics.step(model, eff, sim_params, state, tau)
-            now_failed = failed | failed_state(cfg, q, step_idx)
+            now_failed = failed | failed_state(cfg, q, step_idx) | mpc_bad
             fail_step = jnp.where(now_failed & ~failed, step_idx, fail_step)
             new_state = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(now_failed, a, b), state, new_state

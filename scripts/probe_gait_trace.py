@@ -4,7 +4,7 @@ and per-leg PD tracking errors — the observables that cracked the Go2
 collapse (ROADMAP Go2 item, VERDICT round-3 task 2).
 
 Usage: python scripts/probe_gait_trace.py [robot] [vx] [T_ms] [kp] [kd] [kn]
-        [sb] [fg] [out_npz] [settle_ms] [ff_scale] [schedule] [carry]
+        [sb] [fg] [out_npz] [settle_ms] [ff_scale] [schedule]
 ``ff_scale`` globally scales the J^T f_ff term (1 = normal, 0 = PD only) to
 isolate whether over-pressing planned forces drives the base upward.
 ``schedule``: accel (default) | plain — the ADMM outer schedule; plain pins
@@ -181,7 +181,8 @@ def main():
     cols = (
         "t z z_des roll pitch "
         "fzm0 fzm1 fzm2 fzm3 fzp0 fzp1 fzp2 fzp3 footz0 footz1 footz2 footz3 "
-        "qe0 qe1 qe2 qe3 cnt0 cnt1 cnt2 cnt3 pl0 pl1 pl2 pl3 tau_max"
+        "qe0 qe1 qe2 qe3 cnt0 cnt1 cnt2 cnt3 pl0 pl1 pl2 pl3 tau_max "
+        "vx vx_des fx_m fx_p"
     ).split()
     print(f"wrote {out}; columns: {cols}")
     # compact console dump every 50 ms

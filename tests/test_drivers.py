@@ -65,6 +65,13 @@ def test_safedagger_loop_runs(spec):
         w_range=(0.0, 0.0),
         warmup_bc_epochs=10,
         bc=BcConfig(n_epoch=5, batch_size=128, num_hidden_layer=2, hidden_dim=64),
+        ending_mpc_rollout_ms=0,
+        settle_ms=100,
+        num_steps_to_block=150,
+        sigma_base_pos=0.02,
+        sigma_base_ori=0.05,
+        sigma_joint_pos=0.05,
+        sigma_vel=0.05,
     )
     driver = SafeDagger(spec, cfg, admm_cfg=FAST_ADMM, ddp_cfg=FAST_DDP)
     logs = driver.run(Solo12Config.q0(), Solo12Config.v0())
@@ -89,6 +96,13 @@ def test_gated_rollout_tracks_policy_updates(spec):
         w_range=(0.0, 0.0),
         warmup_bc_epochs=3,
         bc=BcConfig(n_epoch=2, batch_size=64, num_hidden_layer=2, hidden_dim=32),
+        ending_mpc_rollout_ms=0,
+        settle_ms=100,
+        num_steps_to_block=150,
+        sigma_base_pos=0.02,
+        sigma_base_ori=0.05,
+        sigma_joint_pos=0.05,
+        sigma_vel=0.05,
     )
     driver = SafeDagger(spec, cfg, admm_cfg=FAST_ADMM, ddp_cfg=FAST_DDP)
     driver.warmup(Solo12Config.q0(), Solo12Config.v0())
@@ -131,6 +145,13 @@ def test_safedagger_checkpoint_resume(spec, tmp_path):
         w_range=(0.0, 0.0),
         warmup_bc_epochs=5,
         bc=BcConfig(n_epoch=3, batch_size=128, num_hidden_layer=2, hidden_dim=64),
+        ending_mpc_rollout_ms=0,
+        settle_ms=100,
+        num_steps_to_block=150,
+        sigma_base_pos=0.02,
+        sigma_base_ori=0.05,
+        sigma_joint_pos=0.05,
+        sigma_vel=0.05,
     )
     a = SafeDagger(spec, cfg, admm_cfg=FAST_ADMM, ddp_cfg=FAST_DDP, seed=7)
     logs_a = a.run(Solo12Config.q0(), Solo12Config.v0(), checkpoint_dir=ckpt)
