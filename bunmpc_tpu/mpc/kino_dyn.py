@@ -64,7 +64,7 @@ class CyclicMpcSpec:
     # basin (plan idles ~0.6 s then overshoots; executed receding-horizon
     # slice never accelerates -> trots in place), while the vdes start lands
     # on a front-loaded plan that tracks the command (round-4 diagnosis,
-    # scripts/probe_go2_trace.py).
+    # scripts/probe_gait_trace.py).
     warm_start_style: str = "tiled"
 
     @property
@@ -265,6 +265,17 @@ def _prepare_problem(
     X_ref = jnp.concatenate([X_nom, X_ter[None]], axis=0)
     W_F = jnp.tile(jnp.asarray(p.W_F, dtype).reshape(spec.n_eff, 3), (H, 1, 1))
 
+    # mass-normalized force regularization reference point (params.py
+    # f_reg_style): active feet share m g per knot; swing feet pull to zero
+    if p.f_reg_style == "weight":
+        cnt_flags = plan.cnt  # (H, ne)
+        n_act = jnp.maximum(jnp.sum(cnt_flags, axis=-1, keepdims=True), 1.0)
+        F_ref = jnp.zeros((H, spec.n_eff, 3), dtype).at[..., 2].set(
+            cnt_flags * (m * 9.81) / n_act
+        )
+    else:
+        F_ref = None
+
     b_lo = jnp.array([-spec.bx, -spec.by, 0.0], dtype)
     b_hi = jnp.array([spec.bx, spec.by, spec.bz], dtype)
     x_bounds = biconvex.kinematic_box_bounds(plan, b_lo, b_hi)
@@ -281,10 +292,13 @@ def _prepare_problem(
         F_wm = jnp.zeros((H, spec.n_eff, 3), dtype)
     else:
         X_wm, F_wm = warm_start[0], warm_start[1]
-    return dict(
+    out = dict(
         q=q, v=v, plan=plan, swing_mask=swing_mask, x_init=x_init,
         W=W, X_ref=X_ref, W_F=W_F, x_bounds=x_bounds, X_wm=X_wm, F_wm=F_wm,
     )
+    if F_ref is not None:
+        out["F_ref"] = F_ref
+    return out
 
 
 def _build_ik_tasks(spec: CyclicMpcSpec, prob, dyn_X):
@@ -420,6 +434,7 @@ def solve_mpc(
         P_wm,
         admm_cfg,
         x_bounds=prob["x_bounds"],
+        F_ref=prob.get("F_ref"),
     )
     return _finish_solve(
         spec, prob, dyn.X, dyn.F, dyn.viol_norm, dyn.admm_iters, ddp_cfg, dyn_P=dyn.P
@@ -472,6 +487,7 @@ def solve_mpc_batch(
             prob["F_wm"],
             prob["x_bounds"],
             admm_cfg,
+            F_reg_ref=prob.get("F_ref"),
         )
         P = jnp.zeros_like(X)  # dual stays VMEM-internal in the kernel
     else:
@@ -489,6 +505,7 @@ def solve_mpc_batch(
             jnp.zeros(prob["X_wm"].shape, q.dtype),
             admm_cfg,
             x_bounds=prob["x_bounds"],
+            F_ref=prob.get("F_ref"),
         )
         X, F, viol, iters, P = dyn.X, dyn.F, dyn.viol_norm, dyn.admm_iters, dyn.P
     if ik_backend == "pallas":

@@ -46,6 +46,21 @@ class BiconvexMotionParams:
 
     plan_freq: float = 0.05
 
+    # Force-regularization style (round-5, VERDICT task 6):
+    # * "zero"   — reference-verbatim: min F' W_F F pulls every force toward
+    #              zero (biconvex.cpp:60-72). The regularizer then fights
+    #              gravity: stance Fz settles below m g and the CoM droops,
+    #              with a (m g)^2-scaled severity that forced per-robot W_F
+    #              sweep patches (Solo12 trot_sim x0.1, Go2 1e-1).
+    # * "weight" — mass-normalized: regularize toward the weight-distributed
+    #              nominal (active feet share m g equally per knot), i.e.
+    #              min (F - F_nom)' W_F (F - F_nom). Gravity lives in the
+    #              reference point instead of the penalty, so ONE table value
+    #              transfers across robots and the CoM holds nominal height.
+    # Reference-verbatim tables keep "zero" (frozen parity fixtures depend
+    # on it); sim-validated *_sim tables use "weight".
+    f_reg_style: str = "zero"
+
     @property
     def horizon(self) -> int:
         """Dynamics collocation knots (abstract_cyclic_gen.py:125)."""

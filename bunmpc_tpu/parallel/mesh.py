@@ -22,6 +22,35 @@ def batch_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), axis_names=("batch",))
 
 
+def multihost_mesh(dcn: int | None = None, devices=None) -> Mesh:
+    """2-D ('dcn', 'ici') mesh for multi-host runs: the leading axis spans
+    hosts (collectives cross the data-center network), the trailing axis the
+    chips within a host (collectives ride ICI). Shardings that partition the
+    batch over ``("dcn", "ici")`` keep the all-reduce hierarchical — XLA
+    reduces within a host first, then once across hosts.
+
+    * Real multi-host (after ``jax.distributed.initialize``): ``dcn`` defaults
+      to ``jax.process_count()`` and ``jax.devices()`` already spans all
+      hosts.
+    * Single-process validation: pass ``dcn`` explicitly to split the local
+      device list into simulated hosts (the virtual-CPU smoke path,
+      scripts/bench_multichip.py ``dcn=``).
+    """
+    devs = np.array(jax.devices() if devices is None else devices)
+    if dcn is None:
+        dcn = max(jax.process_count(), 1)
+    if len(devs) % dcn:
+        raise ValueError(f"{len(devs)} devices not divisible by dcn={dcn}")
+    return Mesh(devs.reshape(dcn, -1), axis_names=("dcn", "ici"))
+
+
+def shard_batch_2d(mesh: Mesh, tree):
+    """Place a pytree with leading batch axes onto a ('dcn', 'ici') mesh,
+    batch partitioned over both axes (hierarchical data parallelism)."""
+    sh = NamedSharding(mesh, P(("dcn", "ici")))
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+
+
 def shard_batch(mesh: Mesh, tree):
     """Place a pytree with leading batch axes onto the mesh ('batch' sharded)."""
     sh = NamedSharding(mesh, P("batch"))

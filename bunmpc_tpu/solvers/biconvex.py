@@ -147,6 +147,10 @@ def solve(
     cfg: BiconvexConfig,
     x_bounds=None,  # optional (lb, ub) from kinematic_box_bounds
     f_bounds=None,  # optional (lb, ub) for forces when use_soc=False
+    F_ref=None,  # optional (..., H, n_eff, 3) force regularization reference
+    # point (mass-normalized f_reg_style="weight", params.py): the F cost
+    # becomes (F - F_ref)' W_F (F - F_ref); None = the reference's
+    # pull-to-zero (biconvex.cpp:60-72)
 ) -> BiconvexResult:
     batch_shape = x_init.shape[:-1]
 
@@ -174,8 +178,14 @@ def solve(
         def quad_op(y):  # linear part of the gradient (PSD)
             return 2.0 * (W_F * y + rho * cd.ax_applyT(plan, m, X, Ax(y)))
 
-        def grad(y):
-            return 2.0 * (W_F * y + rho * cd.ax_applyT(plan, m, X, Ax(y) + bP))
+        if F_ref is None:
+            def grad(y):
+                return 2.0 * (W_F * y + rho * cd.ax_applyT(plan, m, X, Ax(y) + bP))
+        else:
+            def grad(y):
+                return 2.0 * (
+                    W_F * (y - F_ref) + rho * cd.ax_applyT(plan, m, X, Ax(y) + bP)
+                )
 
         if cfg.step_mode == "power":
             if cfg.precondition:
@@ -196,7 +206,8 @@ def solve(
             return res.x, L0
 
         def obj_diff(y1, y0):
-            quad = jnp.sum((y1 + y0) * W_F * (y1 - y0), axis=(-3, -2, -1))
+            ctr = (y1 + y0) if F_ref is None else (y1 + y0 - 2.0 * F_ref)
+            quad = jnp.sum(ctr * W_F * (y1 - y0), axis=(-3, -2, -1))
             r1 = Ax(y1) + bP
             r0 = Ax(y0) + bP
             pen = jnp.sum(r1 * r1, axis=(-2, -1)) - jnp.sum(r0 * r0, axis=(-2, -1))

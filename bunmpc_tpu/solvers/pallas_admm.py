@@ -86,6 +86,8 @@ def _kernel(
     W_ref,  # (Hp1, 9, T)
     q_ref,  # (Hp1, 9, T)   linear cost = -2 W X_ref
     WF_ref,  # (H, ne, 3, T)
+    qF_ref,  # (H, ne, 3, T)  linear F cost = -2 W_F F_reg (mass-normalized
+    # f_reg_style="weight"; zeros for the reference's pull-to-zero)
     lb_ref,  # (Hp1, 9, T) state box
     ub_ref,  # (Hp1, 9, T)
     X_ref,  # out/in: (Hp1, 9, T)
@@ -109,6 +111,7 @@ def _kernel(
     W = W_ref[:]
     qlin = q_ref[:]
     WF = WF_ref[:]
+    qF = qF_ref[:]
     lb = lb_ref[:]
     ub = ub_ref[:]
     x_init = x_init_ref[:]
@@ -487,7 +490,7 @@ def _kernel(
             return 2.0 * (WF * y + rho_f4 * ax_applyT(X, ax_apply(X, y)))
 
         def grad_f(y):
-            return 2.0 * (WF * y + rho_f4 * ax_applyT(X, ax_apply(X, y) + bP))
+            return 2.0 * (WF * y + rho_f4 * ax_applyT(X, ax_apply(X, y) + bP)) + qF
 
         if cfg.precondition:
             # per-contact isotropic Jacobi diag of 2(W_F + rho A_x^T A_x)
@@ -585,6 +588,8 @@ def solve(
     F_wm,  # (B, H, ne, 3)
     x_bounds,  # (lb, ub): (B, Hp1, 9) each
     cfg: PallasAdmmConfig,
+    F_reg_ref=None,  # optional (B, H, ne, 3) force regularization reference
+    # point (f_reg_style="weight"); None = reference pull-to-zero
 ):
     """Batched biconvex ADMM via the fused kernel. Returns (X, F, viol, iters).
 
@@ -609,6 +614,7 @@ def solve(
             _pad(F_wm),
             jax.tree_util.tree_map(_pad, x_bounds),
             cfg,
+            F_reg_ref=None if F_reg_ref is None else _pad(F_reg_ref),
         )
         return tuple(a[:B] for a in out)
     G = B // LANES
@@ -626,6 +632,10 @@ def solve(
     W_l = to_lanes(W)
     q_l = to_lanes(-2.0 * jnp.asarray(W, f32) * jnp.asarray(X_ref_target, f32))
     WF_l = to_lanes(W_F)
+    if F_reg_ref is None:
+        qF_l = jnp.zeros_like(WF_l)
+    else:
+        qF_l = to_lanes(-2.0 * jnp.asarray(W_F, f32) * jnp.asarray(F_reg_ref, f32))
     big = jnp.float32(3.4e38)
     lb_l = to_lanes(jnp.clip(x_bounds[0], -big, big))
     ub_l = to_lanes(jnp.clip(x_bounds[1], -big, big))
@@ -639,7 +649,9 @@ def solve(
         blk = a.shape[1:]
         return pl.BlockSpec((1,) + blk, lambda i: (i,) + (0,) * len(blk))
 
-    in_specs = [spec_for(a) for a in (cnt, r, dt, x_init_l, W_l, q_l, WF_l, lb_l, ub_l)]
+    in_specs = [
+        spec_for(a) for a in (cnt, r, dt, x_init_l, W_l, q_l, WF_l, qF_l, lb_l, ub_l)
+    ]
     io_specs = [spec_for(X0_l), spec_for(F0_l)]
     out_shape = [
         jax.ShapeDtypeStruct(X0_l.shape, f32),
@@ -649,11 +661,13 @@ def solve(
     ]
     out_specs = io_specs + [spec_for(jnp.zeros((G, 1, LANES))), spec_for(jnp.zeros((G, 1, LANES)))]
 
-    def kernel_wrap(cnt, r, dt, x_init, W, q, WF, lb, ub, Xio, Fio, Xo, Fo, viol, iters):
+    def kernel_wrap(cnt, r, dt, x_init, W, q, WF, qF, lb, ub, Xio, Fio, Xo, Fo, viol, iters):
         # copy warm starts into the outputs, then run in-place on the outputs
         Xo[:] = Xio[:]
         Fo[:] = Fio[:]
-        _squeeze_kernel(kern, cnt, r, dt, x_init, W, q, WF, lb, ub, Xo, Fo, viol, iters)
+        _squeeze_kernel(
+            kern, cnt, r, dt, x_init, W, q, WF, qF, lb, ub, Xo, Fo, viol, iters
+        )
 
     X_l, F_l, viol_l, iters_l = pl.pallas_call(
         kernel_wrap,
@@ -662,7 +676,7 @@ def solve(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=cfg.interpret,
-    )(cnt, r, dt, x_init_l, W_l, q_l, WF_l, lb_l, ub_l, X0_l, F0_l)
+    )(cnt, r, dt, x_init_l, W_l, q_l, WF_l, qF_l, lb_l, ub_l, X0_l, F0_l)
 
     def from_lanes(a):
         a = jnp.moveaxis(a, -1, 1)  # (G, T, ...)
