@@ -116,7 +116,7 @@ def main():
     grid = list(itertools.product(kns, dns, kts))
     B = len(grid)
     cps = physics.ContactParams(
-        foot_radius=0.018,
+        foot_radius=jnp.full(B, 0.018, jnp.float32),
         kn=jnp.asarray([g[0] for g in grid], jnp.float32),
         dn=jnp.asarray([g[1] for g in grid], jnp.float32),
         mu=jnp.full(B, 1.0, jnp.float32),

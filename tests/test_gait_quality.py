@@ -104,6 +104,43 @@ def test_go2_trot_walks():
     assert vx_end > 0.15, vx_end  # walking forward, not in place
 
 
+def test_solo12_reference_gains_contact_calibration_artifact():
+    """Round-3 task 6 / round-4 task 3 closure: the committed 36-point
+    ContactParams sweep (artifacts/contact_calibration_solo12.json, run
+    with the reference's verbatim kp=3/kd=0.05 + W_F=1e1 trot table,
+    solo12_trot.py:41-42) shows the reference configuration completing
+    3 s @ 0.3 m/s in-graph at calibrated contact params (kn=1e4, dn=150,
+    kt=150) with contact duty ~0.63 vs the planned 0.60 and ~1 mm mean
+    penetration — AND that the walk is marginal (roll_max ~26 deg, 2/36
+    rows survive, within 4 deg of the 30-deg failure line), so survival
+    flips across backends/precisions and is pinned here via the artifact
+    rather than a knife-edge re-rollout. Root cause in PARITY.md: the soft
+    reference PD leans on PyBullet's LCP hard-contact stiction, which the
+    implicit viscous tangential model approximates; the product path ships
+    sim-validated gains (gates below)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "contact_calibration_solo12.json",
+    )
+    with open(path) as fh:
+        doc = json.load(fh)
+    assert doc["meta"]["reference_gains"] == {"kp": 3.0, "kd": 0.05}
+    best = doc["best"]
+    assert not best["failed"] and best["survival_ms"] >= 3000
+    assert abs(best["duty_factor"] - 0.6) < 0.08
+    assert best["penetration_mean"] < 0.005
+    # marginality is part of the finding: quality clearly below trot_sim's
+    assert best["roll_max_deg"] > 15.0
+    survivors = [r for r in doc["grid_rows"] if not r["failed"]]
+    assert 1 <= len(survivors) <= 6  # reproducibly rare, not robust
+    # the shipped sim-validated config stays the quality recommendation
+    base = doc["trot_sim_baseline"]
+    assert not base["failed"] and base["roll_max_deg"] < 10.0
+
+
 def test_solo12_trot_walks():
     """Solo12 sim-validated trot (artifacts/stability_sweep_solo12_wf01.json
     row kp=12/kd=0.5/kn=1e4, W_F x0.1): survives 3 s @ 0.3 m/s with max
