@@ -97,6 +97,15 @@ def main():
         ending_mpc_rollout_ms=1000,
         warmup_bc_epochs=60,
         bc=BcConfig(n_epoch=20),
+        # half the reference's nominal trot sigmas: the reference's sampler
+        # has an argument-mixing bug that makes its EFFECTIVE velocity
+        # perturbations much smaller than configured (PARITY.md), and the
+        # in-graph expert fails 0.61 of episodes at the nominal values vs
+        # 0.46 at half (artifacts/expert_robustness_probe.json)
+        sigma_base_pos=0.05,
+        sigma_base_ori=0.35,
+        sigma_joint_pos=0.1,
+        sigma_vel=0.1,
     )
     driver = SafeDagger(spec, cfg, sim_params=sim_params, seed=0)
 

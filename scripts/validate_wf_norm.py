@@ -95,10 +95,13 @@ def main():
     results.append(
         run_case("solo12_trot_sim_zero", s_model, trot_sim, S.q0(), s_sp, {}, T)
     )
-    # weight style: verbatim reference W_F=1e1 table, no x0.1 patch
+    # weight style at the shared table value W_F=1e0: the candidate that
+    # transfers across robots (first sweep: W_F=1e1 under weight anchor is
+    # too stiff a force prior — plan tracks F_nom over the velocity task and
+    # the closed loop overshoots; 1e0 gives the tightest Fz/mg profile)
     trot_sim_w = dataclasses.replace(
         trot, motion_name="trot_sim", kp=trot_sim.kp, kd=trot_sim.kd,
-        f_reg_style="weight",
+        W_F=trot.W_F * 0.1, f_reg_style="weight",
     )
     results.append(
         run_case("solo12_trot_sim_weight", s_model, trot_sim_w, S.q0(), s_sp, {}, T)
@@ -124,7 +127,7 @@ def main():
                  sb=0.5, fg=1.0)
     )
     g_trot_w = dataclasses.replace(
-        g_trot_sim, W_F=np.array([1e1, 1e1, 1e1] * 4), f_reg_style="weight"
+        g_trot_sim, W_F=np.array([1e0, 1e0, 1e0] * 4), f_reg_style="weight"
     )
     results.append(
         run_case("go2_trot_sim_weight", g_model, g_trot_w, C.q0(), g_sp, g_kwargs, T,
