@@ -168,6 +168,57 @@ def test_safedagger_checkpoint_resume(spec, tmp_path):
     assert b.policy(jnp.zeros(43), jnp.zeros(5)).shape == (12,)
 
 
+def test_safedagger_crash_resume_loses_at_most_one_iteration(spec, tmp_path):
+    """Round-4 verdict task 7: a SafeDagger run KILLED mid-loop resumes from
+    the per-iteration snapshot losing at most the in-flight iteration. A
+    crash is injected via an eval hook that raises during iteration 1; a
+    fresh driver with resume=True completes the remaining iterations and
+    iteration 0's log entry is the restored one (not re-run)."""
+    ckpt = str(tmp_path / "crash")
+    cfg = DaggerConfig(
+        episode_length=300,
+        n_iterations=2,
+        rollouts_per_iteration=1,
+        vx_range=(0.1, 0.2),
+        vy_range=(0.0, 0.0),
+        w_range=(0.0, 0.0),
+        warmup_bc_epochs=3,
+        bc=BcConfig(n_epoch=2, batch_size=64, num_hidden_layer=2, hidden_dim=32),
+        ending_mpc_rollout_ms=0,
+        settle_ms=100,
+        num_steps_to_block=150,
+        sigma_base_pos=0.02,
+        sigma_base_ori=0.05,
+        sigma_joint_pos=0.05,
+        sigma_vel=0.05,
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+
+    def crashing_hook(drv):
+        calls["n"] += 1
+        if calls["n"] == 2:  # warmup eval ok, crash during iteration 0's eval
+            raise Boom()
+        return {"probe": calls["n"]}
+
+    a = SafeDagger(spec, cfg, admm_cfg=FAST_ADMM, ddp_cfg=FAST_DDP, seed=3)
+    with pytest.raises(Boom):
+        a.run(Solo12Config.q0(), Solo12Config.v0(), checkpoint_dir=ckpt,
+              eval_hook=crashing_hook)
+
+    b = SafeDagger(spec, cfg, admm_cfg=FAST_ADMM, ddp_cfg=FAST_DDP, seed=3)
+    logs = b.run(Solo12Config.q0(), Solo12Config.v0(), checkpoint_dir=ckpt,
+                 resume=True)
+    # warmup stage restored (not re-run), both iterations completed
+    iters = [e["iteration"] for e in logs if isinstance(e.get("iteration"), int)]
+    assert iters == [0, 1]
+    assert logs[0]["iteration"] == "warmup" and logs[0]["probe"] == 1
+    assert len(b.database) > 0 and b.policy is not None
+
+
 def test_locosafedagger_posterior_roundtrip(spec, tmp_path):
     """The Bayesian posterior survives a checkpoint/restore cycle."""
     from bunmpc_tpu.learning.dagger import LocoSafeDagger
