@@ -556,9 +556,18 @@ class LocoSafeDagger(_IterativeDriver):
 
     mode = "locosafedagger"
 
-    def __init__(self, *args, grid_n: int = 30, error_scaled_likelihood: bool = False, **kwargs):
+    def __init__(
+        self,
+        *args,
+        grid_n: int = 30,
+        error_scaled_likelihood: bool = False,
+        grid: "bayes.GoalGrid | None" = None,
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
-        self.grid = bayes.GoalGrid.make(
+        # an explicit grid lets a degenerate task envelope (e.g. vx-only)
+        # use singleton vy/w axes instead of n duplicated zero rows
+        self.grid = grid if grid is not None else bayes.GoalGrid.make(
             self.cfg.vx_range, self.cfg.vy_range, self.cfg.w_range, n=grid_n
         )
         self.posterior = self.grid.uniform_prior()

@@ -217,11 +217,12 @@ def _prepare_problem(
     Rfull = Q.quat_to_rot(q[3:7])
     v_des_w = Rfull @ v_des  # :641-643
 
-    # current centroidal state
-    com, h_lin, h_ang = K.centroidal_momentum(spec.model, q, v)
+    # current centroidal state + foot positions from ONE shared FK pass
+    # (don't rely on XLA CSE to dedupe two separate fk() subgraphs)
+    com, h_lin, h_ang, ee_pos = K.centroidal_state_and_frames(
+        spec.model, q, v, spec.eff_frames
+    )
     x_init = jnp.concatenate([com, h_lin / m, h_ang])
-
-    ee_pos = K.frame_positions(spec.model, q, spec.eff_frames)
     plan, swing_mask = G.create_cnt_plan(
         spec.gait, spec.planner, H, q, t, v_des_w, w_des, com, ee_pos,
         noise_xy=noise_xy, terrain=terrain, terrain_offset=xy_world,

@@ -43,3 +43,9 @@ def write_jsonl(path: str, entries):
     with open(path, "w") as fh:
         for e in entries:
             fh.write(dumps(e) + "\n")
+
+
+def write_json(path: str, obj, indent: int = 1):
+    """Write one strict-JSON document."""
+    with open(path, "w") as fh:
+        fh.write(dumps(obj, indent=indent) + "\n")

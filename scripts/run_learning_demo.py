@@ -157,8 +157,17 @@ def main():
             }
         }
 
+    # elastic checkpointing: a crash (or the round clock) loses at most one
+    # iteration; re-running the script resumes from the last snapshot
+    ckpt_dir = os.path.join(root, ".ckpt_learning_demo")
     t0 = time.time()
-    logs = driver.run(Solo12Config.q0(), Solo12Config.v0(), eval_hook=eval_hook)
+    logs = driver.run(
+        Solo12Config.q0(),
+        Solo12Config.v0(),
+        eval_hook=eval_hook,
+        checkpoint_dir=ckpt_dir,
+        resume=True,
+    )
     wall = time.time() - t0
 
     meta = {

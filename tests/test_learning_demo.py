@@ -83,3 +83,64 @@ def test_policy_improves_over_warmup(demo):
         or sb["tracking_score"] < sw["tracking_score"]
     )
     assert improved, (sw, sb)
+
+
+# --- LocoSafeDagger at scale (round-4 verdict task 5) ---
+
+LOCO_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts",
+    "learning_demo_locosafedagger.jsonl",
+)
+
+
+@pytest.fixture(scope="module")
+def locodemo():
+    if not os.path.exists(LOCO_ARTIFACT):
+        pytest.skip("locosafedagger demo artifact not yet committed")
+    with open(LOCO_ARTIFACT) as fh:
+        lines = [json.loads(ln) for ln in fh if ln.strip()]
+    meta = lines[0]["meta"]
+    stages = [e for e in lines[1:] if "iteration" in e]
+    summary = lines[-1]
+    return meta, stages, summary
+
+
+def test_locodemo_scale(locodemo):
+    """Realistic scale, not toy: >=3 iterations of >=2000 ms dual rollouts
+    (reference locosafedagger_modified.py:449-617)."""
+    meta, stages, _ = locodemo
+    assert meta["n_iterations"] >= 3
+    assert meta["episode_length"] >= 2000
+    iters = [s for s in stages if isinstance(s.get("iteration"), int)]
+    assert len(iters) >= 3
+
+
+def test_locodemo_posterior_concentrates(locodemo):
+    """The Bayesian goal posterior — the 'Bayesian Updates' in BUNMPC's name
+    (locosafedagger_modified.py:357-425) — concentrates: entropy strictly
+    below the uniform prior's log N at every iteration and at the end.
+    (Entropy need not fall monotonically across iterations — an update
+    peaked away from current mass can raise it — but it must stay strictly
+    below the uniform prior once any update has been applied.)"""
+    meta, stages, summary = locodemo
+    prior_h = meta["prior_entropy"]
+    iters = [s for s in stages if isinstance(s.get("iteration"), int)]
+    for s in iters:
+        assert s["posterior_entropy"] < prior_h, s
+    assert summary["final_posterior_entropy"] < prior_h
+
+
+def test_locodemo_decision_rule_and_error_response(locodemo):
+    """Every iteration records the dual-rollout decision (aggregate whichever
+    of MPC/policy tracked better, :586-605) and the error-scaled likelihood
+    is active: each iteration's goal carries a finite tracking error and the
+    aggregated side matches min(e_mpc, e_policy)."""
+    meta, stages, _ = locodemo
+    assert meta["error_scaled_likelihood"] is True
+    iters = [s for s in stages if isinstance(s.get("iteration"), int)]
+    for s in iters:
+        assert s["aggregated"] in ("mpc", "policy")
+        want = "mpc" if s["e_mpc"] < s["e_policy"] else "policy"
+        assert s["aggregated"] == want, s
+        assert s["tracking_error"] == pytest.approx(min(s["e_mpc"], s["e_policy"]))
