@@ -302,6 +302,62 @@ def _prepare_problem(
     return out
 
 
+def make_prep_consts(spec: CyclicMpcSpec):
+    """Static constants for the fused-prep Pallas path
+    (solvers/pallas_admm.py::PrepConsts)."""
+    from ..solvers import pallas_admm as PA
+
+    p = spec.params
+    g = spec.gait
+    return PA.PrepConsts(
+        gait_period=float(g.gait_period),
+        gait_dt=float(g.gait_dt),
+        stance_percent=tuple(float(x) for x in g.stance_percent),
+        phase_offset=tuple(float(x) for x in g.phase_offset),
+        foot_size=float(spec.planner.foot_size),
+        nom_ht=float(p.nom_ht),
+        ori_correction=tuple(float(x) for x in p.ori_correction),
+        gait_horizon=float(p.gait_horizon),
+        izz_yaw=float((np.asarray(spec.I_comp) @ np.array([0.0, 0.0, 1.0]))[2]),
+        W_X=tuple(float(x) for x in np.asarray(p.W_X)),
+        W_X_ter=tuple(float(x) for x in np.asarray(p.W_X_ter)),
+        W_F=tuple(float(x) for x in np.asarray(p.W_F)),
+        bx=float(spec.bx),
+        by=float(spec.by),
+        bz=float(spec.bz),
+        warm_start_vdes=spec.warm_start_style == "vdes",
+        f_reg_weight=getattr(p, "f_reg_style", "zero") == "weight",
+    )
+
+
+def _compact_inputs(spec: CyclicMpcSpec, q, v, t, v_des, w_des):
+    """Single-sample XLA prologue of the fused-prep path: the kinematics the
+    kernel cannot cheaply rebuild (FK/centroidal state, foot positions,
+    yaw-frame hip offsets, orientation-correction momentum). Everything else
+    in `_prepare_problem` is reconstructed inside the kernel
+    (pallas_admm.prep_values)."""
+    dtype = q.dtype
+    q = q.at[0:2].set(0.0)
+    t = jnp.asarray(t, dtype)
+    Rfull = Q.quat_to_rot(q[3:7])
+    v_des_w = Rfull @ v_des
+    m = spec.model.total_mass
+    com, h_lin, h_ang, ee_pos = K.centroidal_state_and_frames(
+        spec.model, q, v, spec.eff_frames
+    )
+    x_init = jnp.concatenate([com, h_lin / m, h_ang])
+    Ryaw = Q.quat_to_rot(Q.yaw_quat(q[3:7]))
+    hip_world = jnp.einsum(
+        "ij,nj->ni", Ryaw, jnp.asarray(spec.planner.hip_offsets, dtype)
+    )
+    ori_des = jnp.where(
+        w_des != 0.0, q[3:7], jnp.array([0.0, 0.0, 0.0, 1.0], dtype)
+    )
+    des_yaw = Q.yaw_quat(ori_des)
+    amom = Q.log3_quat(Q.quat_mul(des_yaw, Q.quat_conj(q[3:7])))
+    return q, t, v_des_w, x_init, ee_pos, hip_world, amom
+
+
 def _build_ik_tasks(spec: CyclicMpcSpec, prob, dyn_X):
     """IK task construction from the dynamics solution (single sample):
     tracking targets from the dyn plan (kino_dyn.cpp:50-56) + swing tasks
@@ -453,6 +509,7 @@ def solve_mpc_batch(
     ddp_cfg: ddp.DdpConfig = ddp.DdpConfig(),
     admm_backend: str = "pallas",
     ik_backend: str = "pallas",
+    fuse_prep: bool = False,
 ) -> MpcPlan:
     """Batched kino-dynamic MPC with the fused Pallas kernels.
 
@@ -471,10 +528,35 @@ def solve_mpc_batch(
     if ik_backend not in ("pallas", "xla"):
         raise ValueError(f"ik_backend must be 'pallas' or 'xla', got {ik_backend!r}")
     p = spec.params
-    prob = jax.vmap(lambda q, v, t, vd, wd: _prepare_problem(spec, q, v, t, vd, wd))(
-        q, v, t, v_des, w_des
-    )
-    if admm_backend == "pallas":
+    if fuse_prep and admm_backend == "pallas":
+        # fused problem assembly: the contact plan + costs + bounds + warm
+        # starts are built INSIDE the ADMM kernel from ~30 floats/sample;
+        # only the FK-derived kinematics stay in XLA (flat ground, no
+        # touchdown noise — use fuse_prep=False for terrain/fault paths)
+        if admm_cfg is None:
+            from ..solvers import pallas_admm as _PA
+
+            admm_cfg = _PA.PallasAdmmConfig(rho=p.rho, x_solver="thomas")
+        qr, t_, vdw, x_init, ee, hip, amom = jax.vmap(
+            lambda q, v, t, vd, wd: _compact_inputs(spec, q, v, t, vd, wd)
+        )(q, v, t, v_des, w_des)
+        X, F, viol, iters, cnt, r_pl, dts, swing = pallas_admm.solve_from_state(
+            t_, vdw, w_des, x_init, ee, hip, amom,
+            spec.model.total_mass, make_prep_consts(spec), admm_cfg,
+            spec.horizon, spec.n_eff,
+        )
+        prob = dict(
+            q=qr, v=v, x_init=x_init,
+            plan=G.ContactPlan(cnt=cnt, r=r_pl, dt=dts), swing_mask=swing,
+        )
+        P = jnp.zeros_like(X)
+    else:
+        prob = jax.vmap(lambda q, v, t, vd, wd: _prepare_problem(spec, q, v, t, vd, wd))(
+            q, v, t, v_des, w_des
+        )
+    if fuse_prep and admm_backend == "pallas":
+        pass  # solved above
+    elif admm_backend == "pallas":
         if admm_cfg is None:
             admm_cfg = pallas_admm.PallasAdmmConfig(rho=p.rho, x_solver="thomas")
         X, F, viol, iters = pallas_admm.solve(

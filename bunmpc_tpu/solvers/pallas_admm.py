@@ -100,21 +100,33 @@ def _kernel(
     H: int,
     ne: int,
 ):
+    X, F, viol, iters = _admm_core(
+        cnt_ref[:], r_ref[:], dt_ref[:], x_init_ref[:], W_ref[:], q_ref[:],
+        WF_ref[:], qF_ref[:], lb_ref[:], ub_ref[:], X_ref[:], F_ref[:],
+        cfg=cfg, m=m, H=H, ne=ne,
+    )
+    X_ref[:] = X
+    F_ref[:] = F
+    viol_ref[:] = viol
+    iters_ref[:] = iters
+
+
+def _admm_core(
+    cnt, r, dt, x_init, W, qlin, WF, qF, lb, ub, X0_in, F0_in,
+    *,
+    cfg: PallasAdmmConfig,
+    m: float,
+    H: int,
+    ne: int,
+):
+    """The full ADMM on VMEM-resident values in (.., T) lane layout; shared
+    by the plain kernel (inputs streamed from HBM) and the fused-prep kernel
+    (inputs built in the prologue). Returns (X, F, viol (1, T), iters (1, T))."""
     mu = cfg.mu
 
-    cnt = cnt_ref[:]  # (H, ne, T)
-    r = r_ref[:]  # (H, ne, 3, T)
-    dt = dt_ref[:]  # (H, T)
     dtc = dt[:, None, :]  # (H, 1, T) broadcast over 9/3 rows
     dtc4 = dt[:, None, None, :]  # (H, 1, 1, T)
     cnt4 = cnt[:, :, None, :]  # (H, ne, 1, T)
-    W = W_ref[:]
-    qlin = q_ref[:]
-    WF = WF_ref[:]
-    qF = qF_ref[:]
-    lb = lb_ref[:]
-    ub = ub_ref[:]
-    x_init = x_init_ref[:]
 
     def cross3(a, b):
         """Cross product over the 3-length axis at position -2 (..., 3, T)."""
@@ -550,8 +562,8 @@ def _kernel(
             i, X_new, F_new, X, F, P, rho_k, viol2, viol2_chk, iters, act
         )
 
-    X0 = X_ref[:]
-    F0 = F_ref[:]
+    X0 = X0_in
+    F0 = F0_in
     P0 = anchored(jnp.zeros_like(X0))
     viol0 = anchored(jnp.full((SUB, X0.shape[-1]), 3.0e38, jnp.float32))
     it0 = anchored(jnp.zeros((SUB, X0.shape[-1]), jnp.float32))
@@ -571,10 +583,7 @@ def _kernel(
     _, X, F, P, _, viol2, _, iters, _ = jax.lax.while_loop(
         admm_cond, admm_wbody, (jnp.int32(0), X0, F0, P0, rho0, viol0, chk0, it0, act0)
     )
-    X_ref[:] = X
-    F_ref[:] = F
-    viol_ref[:] = jnp.sqrt(viol2[0:1])
-    iters_ref[:] = iters[0:1]
+    return X, F, jnp.sqrt(viol2[0:1]), iters[0:1]
 
 
 def solve(
@@ -714,3 +723,392 @@ class _SqueezeRef:
 
 def _squeeze_kernel(kern, *refs):
     kern(*[_SqueezeRef(r) for r in refs])
+
+
+# ---------------------------------------------------------------------------
+# Fused problem assembly (round-5 perf task: the vmapped XLA prep is the
+# largest single cost of the batched solve — ~25 ms standalone at B=512,
+# fusion-granularity bound, scripts/profile_prep.py). The contact plan,
+# dynamics costs, kinematic box and warm starts are rebuilt INSIDE the
+# kernel from ~30 floats/sample (vs ~1.5k floats of prep outputs streamed
+# from HBM), eliminating the XLA micro-fusion soup. Twin of
+# kino_dyn._prepare_problem + gait.create_cnt_plan + biconvex.
+# kinematic_box_bounds (flat ground, no touchdown noise — callers needing
+# terrain/fault-injection use the XLA prep). Parity:
+# tests/test_fused_prep.py.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PrepConsts:
+    """Static per-(robot, gait) constants of the fused prep prologue."""
+
+    gait_period: float
+    gait_dt: float
+    stance_percent: tuple  # (ne,)
+    phase_offset: tuple  # (ne,)
+    foot_size: float
+    nom_ht: float
+    ori_correction: tuple  # (3,)
+    gait_horizon: float
+    izz_yaw: float  # (I_comp @ e_z)[2] — yaw-rate momentum target coefficient
+    W_X: tuple  # (9,)
+    W_X_ter: tuple  # (9,)
+    W_F: tuple  # (ne*3,)
+    bx: float
+    by: float
+    bz: float
+    warm_start_vdes: bool  # CyclicMpcSpec.warm_start_style == "vdes"
+    f_reg_weight: bool  # BiconvexMotionParams.f_reg_style == "weight"
+
+
+def prep_values(t, vdes, wdes, x_init, ee, hip, amom, *, pc: PrepConsts, m, H, ne):
+    """Problem assembly on (.., T)-layout values (plain jnp — runs identically
+    inside the Pallas kernel and as a host-side function, which is how the
+    parity test pins it against kino_dyn._prepare_problem).
+
+    Inputs: t (1, T), vdes (3, T) world-frame v_des, wdes (1, T),
+    x_init (9, T), ee (ne, 3, T) measured foot positions (origin-reset
+    frame), hip (ne, 3, T) yaw-frame hip offsets (R_yaw @ hip_offsets),
+    amom (3, T) orientation-correction angular momentum.
+
+    Returns (cnt, r, dtarr, swing, W, qlin, WF, qF, lb, ub, X0, F0)."""
+    f32 = jnp.float32
+    T = t.shape[-1]
+    BIG = f32(3.4e38)
+    t1 = t[0]
+    w = wdes[0]
+    vx, vy = vdes[0], vdes[1]
+    com = x_init[0:3]
+    P = pc.gait_period
+    gdt = pc.gait_dt
+
+    # dt schedule with the shrunk first knot (abstract_cyclic_gen.py:385-390)
+    dt0 = gdt - jnp.round(jnp.mod(t1, gdt) * 100.0) / 100.0
+    dt0 = jnp.where(dt0 == 0.0, gdt, dt0)
+    ki = jax.lax.broadcasted_iota(f32, (H, T), 0)  # knot index
+    dtarr = jnp.where(ki == 0.0, dt0[None, :], gdt)  # (H, T)
+
+    knot_t = t1[None, :] + ki * gdt  # (H, T)
+    zero_h = jnp.zeros((H, T), f32)
+    # Raibert angular-step term (gait.create_cnt_plan:132-136)
+    ang_c = 0.5 * jnp.sqrt(com[2] / _G)
+    ang_step_x = ang_c * vy * w  # (T,)
+    ang_step_y = -(ang_c * vx) * w
+
+    cnt_l, per_l, tdx_l, tdy_l, swx_l, swy_l = [], [], [], [], [], []
+    for e in range(ne):
+        st = pc.stance_percent[e] * P
+        ph = jnp.mod(knot_t + pc.phase_offset[e] * P, P)
+        stance = ph <= st + 1e-4  # gait_planner.cpp:48-49 tolerance
+        cnt_e = stance.astype(f32)
+        per_e = jnp.where(stance, ph / st, (ph - st) / (P - st))
+        hipx = com[0][None, :] + hip[e, 0][None, :] + ki * gdt * vx[None, :]
+        hipy = com[1][None, :] + hip[e, 1][None, :] + ki * gdt * vy[None, :]
+        rbx = 0.5 * vx * P * pc.stance_percent[e]  # (T,)
+        rby = 0.5 * vy * P * pc.stance_percent[e]
+        tdx = hipx + (rbx + ang_step_x)[None, :]
+        tdy = hipy + (rby + ang_step_y)[None, :]
+        early = per_e < 0.5
+        swx = jnp.where(early, hipx + ang_step_x[None, :], tdx)
+        swy = jnp.where(early, hipy + ang_step_y[None, :], tdy)
+        cnt_l.append(cnt_e)
+        per_l.append(per_e)
+        tdx_l.append(tdx)
+        tdy_l.append(tdy)
+        swx_l.append(swx)
+        swy_l.append(swy)
+    cnt = jnp.stack(cnt_l, axis=1)  # (H, ne, T)
+
+    # swing via mask: first half of swing, never knot 0
+    swing = jnp.stack(
+        [
+            jnp.where(
+                ki == 0.0,
+                zero_h,
+                ((cnt_l[e] == 0.0) & (per_l[e] - 0.5 < 0.02)).astype(f32),
+            )
+            for e in range(ne)
+        ],
+        axis=1,
+    )  # (H, ne, T)
+
+    # sequential location carry, unrolled over the horizon
+    fs3 = jnp.full((1, T), f32(pc.foot_size))
+    r_feet = []
+    for e in range(ne):
+        rows = [ee[e]]  # knot 0 keeps the measured foot pose
+        r_prev = ee[e]
+        prev_c = cnt_l[e][0]
+        for i in range(1, H):
+            c = cnt_l[e][i]
+            landed = c * (1.0 - prev_c)
+            td3 = jnp.concatenate(
+                [tdx_l[e][i][None, :], tdy_l[e][i][None, :], fs3], axis=0
+            )
+            sw3 = jnp.concatenate(
+                [swx_l[e][i][None, :], swy_l[e][i][None, :], fs3], axis=0
+            )
+            stay = jnp.where(landed[None, :] > 0.0, td3, r_prev)
+            r_i = jnp.where(c[None, :] > 0.0, stay, sw3)
+            rows.append(r_i)
+            r_prev = r_i
+            prev_c = c
+        r_feet.append(jnp.stack(rows, axis=0))  # (H, 3, T)
+    r = jnp.stack(r_feet, axis=1)  # (H, ne, 3, T)
+
+    # --- dynamics costs (kino_dyn._prepare_problem create_costs block) ---
+    cum = jnp.cumsum(dtarr, axis=0)  # (H, T)
+    xy_nom_x = com[0][None, :] + vx[None, :] * (cum - dt0[None, :])
+    xy_nom_y = com[1][None, :] + vy[None, :] * (cum - dt0[None, :])
+    oc = pc.ori_correction
+    yaw_mom = f32(pc.izz_yaw) * w  # (T,)
+    amom_z_nom = jnp.where(w == 0.0, amom[2] * oc[2], yaw_mom)
+
+    def bcast(row):  # (T,) -> (H, T)
+        return jnp.broadcast_to(row[None, :], (H, T))
+
+    X_nom = jnp.stack(
+        [
+            xy_nom_x,
+            xy_nom_y,
+            jnp.full((H, T), f32(pc.nom_ht)),
+            bcast(vdes[0]),
+            bcast(vdes[1]),
+            bcast(vdes[2]),
+            bcast(amom[0] * oc[0]),
+            bcast(amom[1] * oc[1]),
+            bcast(amom_z_nom),
+        ],
+        axis=1,
+    )  # (H, 9, T)
+    hz = f32(pc.gait_horizon * pc.gait_period)
+    X_ter = jnp.stack(
+        [
+            com[0] + hz * vdes[0],
+            com[1] + hz * vdes[1],
+            jnp.full((T,), f32(pc.nom_ht)),
+            vdes[0],
+            vdes[1],
+            vdes[2],
+            amom[0],
+            amom[1],
+            jnp.where(w == 0.0, amom[2], yaw_mom),
+        ],
+        axis=0,
+    )  # (9, T)
+    X_ref_full = jnp.concatenate([X_nom, X_ter[None]], axis=0)  # (Hp1, 9, T)
+
+    # static weights built from SCALAR constants (Pallas kernels may not
+    # capture trace-time arrays; scalars inline fine)
+    kfull = jax.lax.broadcasted_iota(f32, (H + 1, T), 0)
+    W = jnp.stack(
+        [
+            jnp.where(kfull < H, f32(pc.W_X[j]), f32(pc.W_X_ter[j]))
+            for j in range(9)
+        ],
+        axis=1,
+    )  # (Hp1, 9, T)
+    qlin = -2.0 * W * X_ref_full
+
+    WF = jnp.stack(
+        [
+            jnp.stack(
+                [jnp.full((H, T), f32(pc.W_F[3 * e + a])) for a in range(3)], axis=1
+            )
+            for e in range(ne)
+        ],
+        axis=1,
+    )  # (H, ne, 3, T)
+    if pc.f_reg_weight:
+        n_act = jnp.maximum(jnp.sum(cnt, axis=1), 1.0)  # (H, T)
+        fz_ref = cnt * (f32(m * _G) / n_act)[:, None, :]  # (H, ne, T)
+        zero_f = jnp.zeros((H, ne, 1, T), f32)
+        F_reg = jnp.concatenate([zero_f, zero_f, fz_ref[:, :, None, :]], axis=2)
+        qF = -2.0 * WF * F_reg
+    else:
+        qF = jnp.zeros((H, ne, 3, T), f32)
+
+    # --- kinematic CoM box (biconvex.kinematic_box_bounds) ---
+    any_cnt = jnp.sum(cnt, axis=1) > 0.0  # (H, T)
+    r_max = jnp.max(r, axis=1)  # (H, 3, T)
+    r_min = jnp.min(r, axis=1)
+    blo = (-pc.bx, -pc.by, 0.0)
+    bhi = (pc.bx, pc.by, pc.bz)
+    lb_com = jnp.stack(
+        [jnp.where(any_cnt, r_max[:, a, :] + f32(blo[a]), -BIG) for a in range(3)],
+        axis=1,
+    )
+    ub_com = jnp.stack(
+        [jnp.where(any_cnt, r_min[:, a, :] + f32(bhi[a]), BIG) for a in range(3)],
+        axis=1,
+    )
+    pad6_lo = jnp.full((H, 6, T), -BIG)
+    pad6_hi = jnp.full((H, 6, T), BIG)
+    lb = jnp.concatenate(
+        [jnp.concatenate([lb_com, pad6_lo], axis=1), jnp.full((1, 9, T), -BIG)], axis=0
+    )
+    ub = jnp.concatenate(
+        [jnp.concatenate([ub_com, pad6_hi], axis=1), jnp.full((1, 9, T), BIG)], axis=0
+    )
+
+    # --- warm starts (kino_dyn.cpp:83-99 tiled; "vdes" ramp per spec) ---
+    Hp1 = H + 1
+    if pc.warm_start_vdes:
+        tgrid = jnp.concatenate([jnp.zeros((1, T), f32), cum], axis=0)  # (Hp1, T)
+        rows0 = x_init[0][None, :] + tgrid * vx[None, :]
+        rows1 = x_init[1][None, :] + tgrid * vy[None, :]
+        X0 = jnp.stack(
+            [
+                rows0,
+                rows1,
+                jnp.broadcast_to(x_init[2][None, :], (Hp1, T)),
+                jnp.broadcast_to(vdes[0][None, :], (Hp1, T)),
+                jnp.broadcast_to(vdes[1][None, :], (Hp1, T)),
+                jnp.broadcast_to(vdes[2][None, :], (Hp1, T)),
+                jnp.broadcast_to(x_init[6][None, :], (Hp1, T)),
+                jnp.broadcast_to(x_init[7][None, :], (Hp1, T)),
+                jnp.broadcast_to(x_init[8][None, :], (Hp1, T)),
+            ],
+            axis=1,
+        )
+    else:
+        X0 = jnp.broadcast_to(x_init[None, :, :], (Hp1, 9, T))
+    F0 = jnp.zeros((H, ne, 3, T), f32)
+    return cnt, r, dtarr, swing, W, qlin, WF, qF, lb, ub, X0, F0
+
+
+def _kernel_fused(
+    t_ref,  # (1, T)
+    vdes_ref,  # (3, T)
+    wdes_ref,  # (1, T)
+    x_init_ref,  # (9, T)
+    ee_ref,  # (ne, 3, T)
+    hip_ref,  # (ne, 3, T)
+    amom_ref,  # (3, T)
+    X_ref,  # out (Hp1, 9, T)
+    F_ref,  # out (H, ne, 3, T)
+    viol_ref,  # out (1, T)
+    iters_ref,  # out (1, T)
+    cnt_ref,  # out (H, ne, T)
+    r_ref,  # out (H, ne, 3, T)
+    dt_ref,  # out (H, T)
+    swing_ref,  # out (H, ne, T)
+    *,
+    cfg: PallasAdmmConfig,
+    pc: PrepConsts,
+    m: float,
+    H: int,
+    ne: int,
+):
+    cnt, r, dtarr, swing, W, qlin, WF, qF, lb, ub, X0, F0 = prep_values(
+        t_ref[:], vdes_ref[:], wdes_ref[:], x_init_ref[:], ee_ref[:],
+        hip_ref[:], amom_ref[:], pc=pc, m=m, H=H, ne=ne,
+    )
+    X, F, viol, iters = _admm_core(
+        cnt, r, dtarr, x_init_ref[:], W, qlin, WF, qF, lb, ub, X0, F0,
+        cfg=cfg, m=m, H=H, ne=ne,
+    )
+    X_ref[:] = X
+    F_ref[:] = F
+    viol_ref[:] = viol
+    iters_ref[:] = iters
+    cnt_ref[:] = cnt
+    r_ref[:] = r
+    dt_ref[:] = dtarr
+    swing_ref[:] = swing
+
+
+def solve_from_state(
+    t,  # (B,)
+    v_des_w,  # (B, 3) desired CoM velocity, world frame
+    w_des,  # (B,)
+    x_init,  # (B, 9) current centroidal state
+    ee_pos,  # (B, ne, 3) measured foot positions (origin-reset frame)
+    hip_world,  # (B, ne, 3) yaw-frame hip offsets
+    amom,  # (B, 3) orientation-correction angular momentum
+    m: float,
+    pc: PrepConsts,
+    cfg: PallasAdmmConfig,
+    H: int,
+    ne: int,
+):
+    """Fused prep + ADMM: one `pallas_call` from compact per-sample state to
+    the centroidal solution AND the contact plan the IK stage consumes.
+
+    Returns (X, F, viol, iters, cnt, r, dts, swing_mask)."""
+    B = t.shape[0]
+    if B % LANES != 0:
+        pad = LANES - B % LANES
+
+        def _pad(a):
+            return jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], 0)
+
+        out = solve_from_state(
+            _pad(t), _pad(v_des_w), _pad(w_des), _pad(x_init), _pad(ee_pos),
+            _pad(hip_world), _pad(amom), m, pc, cfg, H, ne,
+        )
+        return tuple(a[:B] for a in out)
+    G = B // LANES
+    f32 = jnp.float32
+    Hp1 = H + 1
+
+    def to_lanes(a):
+        a = jnp.asarray(a, f32).reshape((G, LANES) + a.shape[1:])
+        return jnp.moveaxis(a, 1, -1)
+
+    ins = [
+        to_lanes(t[:, None]),
+        to_lanes(v_des_w),
+        to_lanes(w_des[:, None]),
+        to_lanes(x_init),
+        to_lanes(ee_pos),
+        to_lanes(hip_world),
+        to_lanes(amom),
+    ]
+    kern = functools.partial(_kernel_fused, cfg=cfg, pc=pc, m=float(m), H=H, ne=ne)
+
+    def spec_for_shape(shape):
+        return pl.BlockSpec((1,) + shape, lambda i, _s=len(shape): (i,) + (0,) * _s)
+
+    in_specs = [spec_for_shape(a.shape[1:]) for a in ins]
+    out_shapes = [
+        (Hp1, 9, LANES),
+        (H, ne, 3, LANES),
+        (1, LANES),
+        (1, LANES),
+        (H, ne, LANES),
+        (H, ne, 3, LANES),
+        (H, LANES),
+        (H, ne, LANES),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((G,) + s, f32) for s in out_shapes]
+    out_specs = [spec_for_shape(s) for s in out_shapes]
+
+    def kernel_wrap(*refs):
+        _squeeze_kernel(kern, *refs)
+
+    outs = pl.pallas_call(
+        kernel_wrap,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=cfg.interpret,
+    )(*ins)
+
+    def from_lanes(a):
+        a = jnp.moveaxis(a, -1, 1)
+        return a.reshape((B,) + a.shape[2:])
+
+    X, F, viol, iters, cnt, r, dts, swing = (from_lanes(a) for a in outs)
+    return (
+        X,
+        F,
+        viol[:, 0],
+        iters[:, 0].astype(jnp.int32),
+        cnt,
+        r,
+        dts,
+        swing > 0.5,
+    )

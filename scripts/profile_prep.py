@@ -92,7 +92,8 @@ def main():
     dt_prep, _ = timeit(prep, q, v, t, v_des, w_des)
 
     # full fused solve (pallas backends on TPU, XLA twins elsewhere)
-    be = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    on_tpu = jax.devices()[0].platform == "tpu"
+    be = "pallas" if on_tpu else "xla"
     full = jax.jit(
         lambda q, v, t, vd, wd: KD.solve_mpc_batch(
             spec, q, v, t, vd, wd, admm_backend=be, ik_backend=be
@@ -100,6 +101,22 @@ def main():
     )
     dt_full, plans = timeit(full, q, v, t, v_des, w_des, n=5)
     ok = float(jnp.mean((plans.dyn_violation < 1e-2).astype(jnp.float32)))
+
+    # A/B in ONE process (±15% day-to-day chip variance): fused problem
+    # assembly (prep built inside the ADMM kernel, fuse_prep=True)
+    dt_fused, ok_fused, fused_dx = float("nan"), float("nan"), float("nan")
+    if on_tpu:
+        fullf = jax.jit(
+            lambda q, v, t, vd, wd: KD.solve_mpc_batch(
+                spec, q, v, t, vd, wd, admm_backend="pallas", ik_backend="pallas",
+                fuse_prep=True,
+            )
+        )
+        dt_fused, plans_f = timeit(fullf, q, v, t, v_des, w_des, n=5)
+        ok_fused = float(jnp.mean((plans_f.dyn_violation < 1e-2).astype(jnp.float32)))
+        fused_dx = float(
+            jnp.max(jnp.abs(plans_f.X_opt - plans.X_opt))
+        )  # on-chip parity of the dynamics solution
 
     out = {
         "B": B,
@@ -112,6 +129,10 @@ def main():
         "prep_share": round(dt_prep / dt_full, 3),
         "solves_per_s": round(B / dt_full, 1),
         "converged_frac": ok,
+        "fused_full_ms": round(dt_fused * 1e3, 3) if dt_fused == dt_fused else None,
+        "fused_solves_per_s": round(B / dt_fused, 1) if dt_fused == dt_fused else None,
+        "fused_converged_frac": ok_fused if ok_fused == ok_fused else None,
+        "fused_max_dX": fused_dx if fused_dx == fused_dx else None,
     }
     print(json.dumps(out))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
