@@ -77,6 +77,13 @@ class DaggerConfig:
     # PD-settle the initial pose into contact equilibrium before episodes
     # (the in-graph soft-contact twin of PyBullet's spawn-in-contact)
     settle_ms: int = 500
+    # Reference aggregation semantics (data_collection.py:272-277): failed
+    # episodes contribute NOTHING. False keeps this repo's round-4 deviation
+    # (pre-failure prefix minus PREFIX_MARGIN — recovery-tube coverage), but
+    # at high failed_frac that floods the database with doomed trajectories
+    # and the BC policy degrades iteration-over-iteration (round-5 demo:
+    # survival 0.25 -> 0.08 -> 0.0 across iterations at failed_frac ~0.85).
+    skip_failed_episodes: bool = False
 
 
 class _IterativeDriver:
@@ -282,6 +289,8 @@ class _IterativeDriver:
             if keep is not None and not bool(keep[b]):
                 continue
             if bool(res.failed[b]):
+                if self.cfg.skip_failed_episodes:
+                    continue
                 T = int(res.fail_step[b]) - self.PREFIX_MARGIN
                 if T < 100:
                     continue

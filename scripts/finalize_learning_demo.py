@@ -42,9 +42,13 @@ def main():
                                           "run_learning_demo.py")
     )
     _demo = importlib.util.module_from_spec(_spec)
-    _spec.loader.exec_module(_demo)  # single source of truth for CONTACT
-    CONTACT = _demo.CONTACT
-    from bunmpc_tpu.mpc.motions.solo12_cyclic import trot_sim
+    _spec.loader.exec_module(_demo)  # single source of truth for cfg + meta
+
+    # run settings (argv mirrors run_learning_demo's tail args)
+    n_cmd = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    ep_ms = int(sys.argv[4]) if len(sys.argv) > 4 else 3000
+    skip_failed = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
+    cfg = _demo.make_cfg(len(iters), n_cmd, ep_ms, skip_failed)
 
     best = max(
         iters,
@@ -53,17 +57,11 @@ def main():
             s["eval"].get("mean_survival_ms", 0),
         ),
     )
-    meta = {
-        "mode": "safedagger",
-        "robot": "solo12",
-        "gait": "trot_sim",
-        "kp": trot_sim.kp,
-        "kd": trot_sim.kd,
-        "contact": CONTACT,
-        "n_iterations": len(iters),
-        "finalized_from_checkpoint": True,
-        "wall_seconds": None,
-    }
+    meta = _demo.build_meta(
+        cfg, len(iters), n_cmd, ep_ms,
+        finalized_from_checkpoint=True,
+        wall_seconds=None,
+    )
     entries = [{"meta": meta}] + logs + [
         {
             "best_iteration": best["iteration"],

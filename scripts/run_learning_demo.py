@@ -32,7 +32,7 @@ Writes artifacts/learning_demo_safedagger.jsonl, gated by
 tests/test_learning_demo.py.
 
 Usage: python scripts/run_learning_demo.py [out_path] [n_iterations]
-        [commands_per_iter] [episode_ms]
+        [commands_per_iter] [episode_ms] [skip_failed_episodes(0|1)]
 Runs on the TPU (~1 h at the default scale); serialize with other TPU
 processes.
 """
@@ -67,21 +67,10 @@ from bunmpc_tpu.utils import jsonio
 CONTACT = dict(kn=1e4, dn=500.0, kt=500.0)
 
 
-def main():
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = (
-        sys.argv[1]
-        if len(sys.argv) > 1
-        else os.path.join(root, "artifacts", "learning_demo_safedagger.jsonl")
-    )
-    n_iter = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-    n_cmd = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    ep_ms = int(sys.argv[4]) if len(sys.argv) > 4 else 3000
-
-    model = Solo12Config.load_model()
-    spec = KD.make_cyclic_spec(model, trot_sim, Solo12Config.q0())
-    sim_params = physics.SimParams(contact=physics.ContactParams(**CONTACT))
-    cfg = DaggerConfig(
+def make_cfg(n_iter, n_cmd, ep_ms, skip_failed):
+    """The demo's DaggerConfig — shared with finalize_learning_demo.py so a
+    checkpoint-reconstructed artifact records the same provenance."""
+    return DaggerConfig(
         episode_length=ep_ms,
         n_iterations=n_iter,
         rollouts_per_iteration=n_cmd,
@@ -106,7 +95,58 @@ def main():
         sigma_base_ori=0.35,
         sigma_joint_pos=0.1,
         sigma_vel=0.1,
+        skip_failed_episodes=skip_failed,
     )
+
+
+def build_meta(cfg, n_iter, n_cmd, ep_ms, **extra):
+    """Artifact meta line (advisor round-4: full provenance so a re-run
+    reproduces the artifact)."""
+    return {
+        "mode": "safedagger",
+        "robot": "solo12",
+        "gait": "trot_sim",
+        "kp": trot_sim.kp,
+        "kd": trot_sim.kd,
+        "contact": CONTACT,
+        "n_iterations": n_iter,
+        "commands_per_iteration": n_cmd,
+        "rollouts_per_iteration": n_cmd * cfg.num_replannings * cfg.num_perturbations,
+        "episode_length": ep_ms,
+        "episode_length_warmup": cfg.episode_length_warmup,
+        "rollouts_warmup": cfg.rollouts_warmup,
+        "num_steps_to_block": cfg.num_steps_to_block,
+        "ending_mpc_rollout_ms": cfg.ending_mpc_rollout_ms,
+        "skip_failed_episodes": cfg.skip_failed_episodes,
+        "sigmas": {
+            "base_pos": cfg.sigma_base_pos,
+            "base_ori": cfg.sigma_base_ori,
+            "joint_pos": cfg.sigma_joint_pos,
+            "vel": cfg.sigma_vel,
+        },
+        "vx_range": list(cfg.vx_range),
+        "warmup_bc_epochs": cfg.warmup_bc_epochs,
+        "bc_epochs": cfg.bc.n_epoch,
+        **extra,
+    }
+
+
+def main():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(root, "artifacts", "learning_demo_safedagger.jsonl")
+    )
+    n_iter = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    n_cmd = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    ep_ms = int(sys.argv[4]) if len(sys.argv) > 4 else 3000
+    skip_failed = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
+
+    model = Solo12Config.load_model()
+    spec = KD.make_cyclic_spec(model, trot_sim, Solo12Config.q0())
+    sim_params = physics.SimParams(contact=physics.ContactParams(**CONTACT))
+    cfg = make_cfg(n_iter, n_cmd, ep_ms, skip_failed)
     driver = SafeDagger(spec, cfg, sim_params=sim_params, seed=0)
 
     # fixed eval grid shared across stages (reference eval sweep shape:
@@ -158,8 +198,16 @@ def main():
         }
 
     # elastic checkpointing: a crash (or the round clock) loses at most one
-    # iteration; re-running the script resumes from the last snapshot
-    ckpt_dir = os.path.join(root, ".ckpt_learning_demo")
+    # iteration; re-running the script resumes from the last snapshot.
+    # Per-output-stem dir so variant runs don't resume each other's state
+    # (the default stem keeps the historical .ckpt_learning_demo name).
+    stem = os.path.splitext(os.path.basename(out))[0]
+    ckpt_dir = os.path.join(
+        root,
+        ".ckpt_learning_demo"
+        if stem == "learning_demo_safedagger"
+        else f".ckpt_{stem}",
+    )
     t0 = time.time()
     logs = driver.run(
         Solo12Config.q0(),
@@ -170,35 +218,11 @@ def main():
     )
     wall = time.time() - t0
 
-    meta = {
-        "mode": "safedagger",
-        "robot": "solo12",
-        "gait": "trot_sim",
-        # full provenance (advisor round-4: spec params must be in the meta
-        # so a re-run reproduces the artifact)
-        "kp": trot_sim.kp,
-        "kd": trot_sim.kd,
-        "contact": CONTACT,
-        "n_iterations": n_iter,
-        "commands_per_iteration": n_cmd,
-        "rollouts_per_iteration": n_cmd * cfg.num_replannings * cfg.num_perturbations,
-        "episode_length": ep_ms,
-        "episode_length_warmup": cfg.episode_length_warmup,
-        "rollouts_warmup": cfg.rollouts_warmup,
-        "num_steps_to_block": cfg.num_steps_to_block,
-        "ending_mpc_rollout_ms": cfg.ending_mpc_rollout_ms,
-        "sigmas": {
-            "base_pos": cfg.sigma_base_pos,
-            "base_ori": cfg.sigma_base_ori,
-            "joint_pos": cfg.sigma_joint_pos,
-            "vel": cfg.sigma_vel,
-        },
-        "vx_range": list(cfg.vx_range),
-        "warmup_bc_epochs": cfg.warmup_bc_epochs,
-        "bc_epochs": cfg.bc.n_epoch,
-        "device": str(jax.devices()[0]),
-        "wall_seconds": round(wall, 1),
-    }
+    meta = build_meta(
+        cfg, n_iter, n_cmd, ep_ms,
+        device=str(jax.devices()[0]),
+        wall_seconds=round(wall, 1),
+    )
     # best checkpoint by (survival, mean survival) — the deployable product
     iters = [e for e in logs if isinstance(e.get("iteration"), int)]
     best = max(
