@@ -786,7 +786,8 @@ def prep_values(t, vdes, wdes, x_init, ee, hip, amom, *, pc: PrepConsts, m, H, n
     # dt schedule with the shrunk first knot (abstract_cyclic_gen.py:385-390)
     dt0 = gdt - jnp.round(jnp.mod(t1, gdt) * 100.0) / 100.0
     dt0 = jnp.where(dt0 == 0.0, gdt, dt0)
-    ki = jax.lax.broadcasted_iota(f32, (H, T), 0)  # knot index
+    # int iota then cast (Mosaic: tpu.iota must produce integers)
+    ki = jax.lax.broadcasted_iota(jnp.int32, (H, T), 0).astype(f32)  # knot index
     dtarr = jnp.where(ki == 0.0, dt0[None, :], gdt)  # (H, T)
 
     knot_t = t1[None, :] + ki * gdt  # (H, T)
@@ -858,7 +859,12 @@ def prep_values(t, vdes, wdes, x_init, ee, hip, amom, *, pc: PrepConsts, m, H, n
     r = jnp.stack(r_feet, axis=1)  # (H, ne, 3, T)
 
     # --- dynamics costs (kino_dyn._prepare_problem create_costs block) ---
-    cum = jnp.cumsum(dtarr, axis=0)  # (H, T)
+    # prefix sum unrolled over the horizon (Mosaic has no cumsum lowering)
+    _rows, _acc = [], jnp.zeros((T,), f32)
+    for i in range(H):
+        _acc = _acc + dtarr[i]
+        _rows.append(_acc)
+    cum = jnp.stack(_rows, axis=0)  # (H, T)
     xy_nom_x = com[0][None, :] + vx[None, :] * (cum - dt0[None, :])
     xy_nom_y = com[1][None, :] + vy[None, :] * (cum - dt0[None, :])
     oc = pc.ori_correction
@@ -901,7 +907,7 @@ def prep_values(t, vdes, wdes, x_init, ee, hip, amom, *, pc: PrepConsts, m, H, n
 
     # static weights built from SCALAR constants (Pallas kernels may not
     # capture trace-time arrays; scalars inline fine)
-    kfull = jax.lax.broadcasted_iota(f32, (H + 1, T), 0)
+    kfull = jax.lax.broadcasted_iota(jnp.int32, (H + 1, T), 0).astype(f32)
     W = jnp.stack(
         [
             jnp.where(kfull < H, f32(pc.W_X[j]), f32(pc.W_X_ter[j]))
