@@ -84,6 +84,12 @@ class DaggerConfig:
     # and the BC policy degrades iteration-over-iteration (round-5 demo:
     # survival 0.25 -> 0.08 -> 0.0 across iterations at failed_frac ~0.85).
     skip_failed_episodes: bool = False
+    # Warmup override (None -> same as skip_failed_episodes). Round-5
+    # controlled A/B (PARITY.md): prefix-keeping is LOAD-BEARING in the
+    # perturbed-start warmup (warmup grid survival 1204 ms with vs 643 ms
+    # without) while it poisons gated iterations — the measured best combo
+    # is skip_failed_episodes=True with skip_failed_warmup=False.
+    skip_failed_warmup: bool | None = None
 
 
 class _IterativeDriver:
@@ -237,7 +243,12 @@ class _IterativeDriver:
         vb = jnp.tile(s0.v[None], (n_cmd, 1))
         vds, wds = self._sample_commands(n_cmd)
         bench = self._mpc_rollout(qb, vb, vds, wds, ep_len=ep)
-        self._aggregate(bench, expert_only=False)
+        sf_warm = (
+            cfg.skip_failed_warmup
+            if cfg.skip_failed_warmup is not None
+            else cfg.skip_failed_episodes
+        )
+        self._aggregate(bench, expert_only=False, skip_failed=sf_warm)
         p = self.spec.params
         n_cycle = max(1, int(round(p.gait_period / p.plan_freq)))
         quota = n_cmd * n_cycle * cfg.warmup_perturbations_per_replanning
@@ -245,7 +256,7 @@ class _IterativeDriver:
         if pert is not None:
             qp, vp, st, vdl, wdl = pert
             res = self._mpc_rollout(qp, vp, vdl, wdl, st=st, ep_len=ep)
-            self._aggregate(res, expert_only=False)
+            self._aggregate(res, expert_only=False, skip_failed=sf_warm)
         self._train(warmup=True)
 
     def _sample_commands(self, B):
@@ -277,19 +288,22 @@ class _IterativeDriver:
     # recovery-tube coverage its PyBullet expert gets for free.
     PREFIX_MARGIN = 250
 
-    def _aggregate(self, res, expert_only=True, keep=None):
+    def _aggregate(self, res, expert_only=True, keep=None, skip_failed=None):
         """Append expert-labeled data; failed episodes contribute their
-        pre-failure prefix minus PREFIX_MARGIN, and for gated rollouts only
-        MPC-controlled steps are kept (the DAgger label rule).
-        ``keep``: optional (B,) bool mask dropping episodes entirely (e.g.
-        ending-MPC rollouts whose gated episode already failed — their start
-        state is frozen at the failure)."""
+        pre-failure prefix minus PREFIX_MARGIN (or nothing, with
+        ``skip_failed`` — reference data_collection.py:272-277 semantics),
+        and for gated rollouts only MPC-controlled steps are kept (the
+        DAgger label rule). ``keep``: optional (B,) bool mask dropping
+        episodes entirely (e.g. ending-MPC rollouts whose gated episode
+        already failed — their start state is frozen at the failure)."""
+        if skip_failed is None:
+            skip_failed = self.cfg.skip_failed_episodes
         added = 0
         for b in range(res.states.shape[0]):
             if keep is not None and not bool(keep[b]):
                 continue
             if bool(res.failed[b]):
-                if self.cfg.skip_failed_episodes:
+                if skip_failed:
                     continue
                 T = int(res.fail_step[b]) - self.PREFIX_MARGIN
                 if T < 100:

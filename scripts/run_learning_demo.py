@@ -96,6 +96,9 @@ def make_cfg(n_iter, n_cmd, ep_ms, skip_failed):
         sigma_joint_pos=0.1,
         sigma_vel=0.1,
         skip_failed_episodes=skip_failed,
+        # measured combo (PARITY.md round-5 A/B): prefix-keeping warmup is
+        # load-bearing even when gated iterations skip failed episodes
+        skip_failed_warmup=False,
     )
 
 
